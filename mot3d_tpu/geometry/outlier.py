@@ -1,0 +1,59 @@
+"""Statistical outlier removal as a batched masked JAX op.
+
+TPU-native replacement for open3d's C++ `remove_statistical_outlier`
+(used at `PoseEst/pose_estimation.py:311-349`): for each point, the mean
+distance to its k nearest neighbours; points whose mean distance exceeds
+mean + std_ratio * std (sample std over valid points) are dropped.
+
+Runs as one (N, N) pairwise-distance pass over a fixed-size padded buffer —
+an MXU-shaped matmul (|x-y|^2 = |x|^2 + |y|^2 - 2 x.y) plus a top-k, instead
+of the reference's per-object KD-tree on host.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mot3d_tpu.ops.precision import high_precision
+
+
+@high_precision
+def statistical_outlier_mask(points: jax.Array, valid: jax.Array,
+                             nb_neighbors: int = 20,
+                             std_ratio: float = 2.0,
+                             min_points: int = 100) -> jax.Array:
+    """Return the kept-point mask (N,) for a padded point buffer (N, 3).
+
+    Matches open3d semantics: threshold = mean + std_ratio * sample-std of the
+    per-point mean kNN distances.  If fewer than `min_points` points are valid
+    the input mask is returned unchanged (reference skips cleaning below 100
+    points, `pose_estimation.py:311`).
+    """
+    n = points.shape[0]
+    valid = valid.astype(bool)
+    sq = (points ** 2).sum(-1)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * (points @ points.T)
+    d2 = jnp.maximum(d2, 0.0)
+    big = jnp.asarray(jnp.inf, points.dtype)
+    # Invalidate padded columns and self-distances.
+    d2 = jnp.where(valid[None, :], d2, big)
+    d2 = jnp.where(jnp.eye(n, dtype=bool), big, d2)
+
+    k = min(nb_neighbors, n - 1)
+    # k smallest distances per row.
+    neg_topk, _ = jax.lax.top_k(-d2, k)
+    knn_d = jnp.sqrt(jnp.maximum(-neg_topk, 0.0))
+    # If a row has fewer than k valid neighbours, inf leaks in; mask those.
+    finite = jnp.isfinite(knn_d)
+    cnt = jnp.maximum(finite.sum(-1), 1)
+    mean_knn = jnp.where(finite, knn_d, 0.0).sum(-1) / cnt  # (N,)
+
+    n_valid = jnp.maximum(valid.sum(), 1)
+    mu = jnp.where(valid, mean_knn, 0.0).sum() / n_valid
+    var = jnp.where(valid, (mean_knn - mu) ** 2, 0.0).sum() / jnp.maximum(n_valid - 1, 1)
+    thresh = mu + std_ratio * jnp.sqrt(var)
+
+    keep = jnp.logical_and(valid, mean_knn <= thresh)
+    skip = valid.sum() < min_points
+    return jnp.where(skip, valid, keep)

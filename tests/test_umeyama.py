@@ -1,0 +1,183 @@
+"""Umeyama/RANSAC vs an independent NumPy oracle + gradient checks."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mot3d_tpu.geometry import (
+    umeyama_similarity,
+    ransac_umeyama,
+    estimate_similarity_transform,
+)
+from mot3d_tpu.geometry.umeyama import apply_similarity
+
+RNG = np.random.default_rng(42)
+
+
+def np_umeyama_oracle(source, target):
+    """Independent NumPy implementation of the reference's similarity fit
+    semantics (PoseEst/pose_utils.py:16-61): returns (scale, R_ref, t)."""
+    n = source.shape[0]
+    mu_s, mu_t = source.mean(0), target.mean(0)
+    cs, ct = source - mu_s, target - mu_t
+    cov = ct.T @ cs / n
+    u, d, vt = np.linalg.svd(cov)
+    if np.linalg.det(u) * np.linalg.det(vt) < 0:
+        d[-1] = -d[-1]
+        u[:, -1] = -u[:, -1]
+    rot = (u @ vt).T
+    var_s = source.var(axis=0).sum()
+    scale = d.sum() / var_s if var_s * d.sum() != 0 else 1.0
+    trans = mu_t - (scale * rot).T @ mu_s
+    return scale, rot, trans
+
+
+def make_instance(n=200, scale=1.7, noise=0.0):
+    euler = RNG.uniform(-np.pi, np.pi, 3)
+    from scipy.spatial.transform import Rotation
+    R = Rotation.from_euler("xyz", euler).as_matrix()
+    t = RNG.normal(size=3) * 2
+    src = RNG.uniform(-0.5, 0.5, size=(n, 3))
+    tgt = scale * src @ R.T + t + noise * RNG.normal(size=(n, 3))
+    return src.astype(np.float32), tgt.astype(np.float32), (scale, R, t)
+
+
+class TestUmeyama:
+    def test_matches_numpy_oracle(self):
+        src, tgt, _ = make_instance(noise=0.01)
+        ours = umeyama_similarity(jnp.array(src), jnp.array(tgt), jnp.ones(len(src)))
+        s, r, t = np_umeyama_oracle(src.astype(np.float64), tgt.astype(np.float64))
+        np.testing.assert_allclose(float(ours.scale), s, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(ours.rotation), r, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(ours.translation), t, atol=1e-3)
+
+    def test_recovers_exact_transform(self):
+        src, tgt, (s, R, t) = make_instance(noise=0.0)
+        fit = umeyama_similarity(jnp.array(src), jnp.array(tgt), jnp.ones(len(src)))
+        np.testing.assert_allclose(float(fit.scale), s, rtol=1e-4)
+        # reference convention: fit.rotation.T is the source->target rotation
+        np.testing.assert_allclose(np.asarray(fit.rotation.T), R, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(fit.translation), t, atol=1e-4)
+        mapped = np.asarray(apply_similarity(fit, jnp.array(src)))
+        np.testing.assert_allclose(mapped, tgt, atol=1e-4)
+
+    def test_masked_padding_invariance(self):
+        src, tgt, _ = make_instance(n=100, noise=0.005)
+        pad_src = np.concatenate([src, RNG.normal(size=(28, 3))]).astype(np.float32)
+        pad_tgt = np.concatenate([tgt, RNG.normal(size=(28, 3))]).astype(np.float32)
+        w = np.concatenate([np.ones(100), np.zeros(28)]).astype(np.float32)
+        full = umeyama_similarity(jnp.array(src), jnp.array(tgt), jnp.ones(100))
+        padded = umeyama_similarity(jnp.array(pad_src), jnp.array(pad_tgt), jnp.array(w))
+        np.testing.assert_allclose(float(full.scale), float(padded.scale), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(full.rotation), np.asarray(padded.rotation), atol=1e-5)
+
+    def test_reflection_correction(self):
+        # A degenerate planar source that can tempt SVD into a reflection.
+        src = RNG.uniform(-0.5, 0.5, size=(50, 3)).astype(np.float32)
+        src[:, 2] *= 0.01
+        from scipy.spatial.transform import Rotation
+        R = Rotation.from_euler("xyz", [0.2, 1.1, -0.4]).as_matrix().astype(np.float32)
+        tgt = src @ R.T
+        fit = umeyama_similarity(jnp.array(src), jnp.array(tgt), jnp.ones(50))
+        det = float(jnp.linalg.det(fit.rotation))
+        assert det > 0.99
+
+    def test_gradients_flow(self):
+        src, tgt, _ = make_instance(n=64, noise=0.01)
+
+        def loss(t_shift):
+            fit = umeyama_similarity(jnp.array(src), jnp.array(tgt) + t_shift,
+                                     jnp.ones(64))
+            return fit.translation.sum() + fit.scale
+
+        g = jax.grad(loss)(jnp.zeros(3))
+        assert np.all(np.isfinite(np.asarray(g)))
+        # translation responds ~1:1 to a target shift
+        np.testing.assert_allclose(np.asarray(g), np.ones(3), atol=1e-2)
+
+
+class TestRansac:
+    def test_ransac_inlier_selection_with_tight_threshold(self):
+        # Isolate the RANSAC machinery: with an explicit tight PassThreshold
+        # (the reference's auto heuristic is intentionally loose) the inlier
+        # mask must exclude the corrupted correspondences exactly.
+        # Few outliers: the reference scores hypotheses by *total* Frobenius
+        # residual over all points, which with heavy contamination prefers
+        # compromise models — so the meaningful regime is the post-outlier-
+        # removal one with a small corrupted fraction.
+        src, tgt, (s, R, t) = make_instance(n=256, noise=0.002)
+        tgt_corrupt = tgt.copy()
+        out_idx = RNG.choice(256, size=12, replace=False)
+        tgt_corrupt[out_idx] += (
+            RNG.normal(size=(12, 3)) + np.sign(RNG.normal(size=(12, 3)))) * 1.0
+        valid = np.ones(256, bool)
+        inliers, ratio = ransac_umeyama(
+            jnp.array(src), jnp.array(tgt_corrupt), jnp.array(valid),
+            jax.random.PRNGKey(0), iters=100, sample_size=10,
+            pass_threshold=0.05, stop_threshold=1e-6)
+        inl = np.asarray(inliers)
+        assert not inl[out_idx].any()
+        clean = np.setdiff1d(np.arange(256), out_idx)
+        assert inl[clean].mean() > 0.95
+        fit = umeyama_similarity(jnp.array(src), jnp.array(tgt_corrupt),
+                                 inliers.astype(jnp.float32))
+        np.testing.assert_allclose(float(fit.scale), s, rtol=0.01)
+        np.testing.assert_allclose(np.asarray(fit.rotation.T), R, atol=0.01)
+        np.testing.assert_allclose(np.asarray(fit.translation), t, atol=0.01)
+
+    def test_full_pipeline_mild_corruption(self):
+        # Composed outlier-removal + auto-threshold RANSAC (as run_pose does)
+        # on mild corruption: recovers the pose within a few percent.
+        from mot3d_tpu.geometry import statistical_outlier_mask
+
+        src, tgt, (s, R, t) = make_instance(n=256, noise=0.002)
+        tgt_corrupt = tgt.copy()
+        out_idx = RNG.choice(256, size=12, replace=False)
+        tgt_corrupt[out_idx] += RNG.normal(size=(12, 3)) * 5.0
+        keep = statistical_outlier_mask(
+            jnp.array(tgt_corrupt), jnp.ones(256, dtype=bool),
+            nb_neighbors=20, std_ratio=2.0, min_points=10)
+        fit = estimate_similarity_transform(
+            jnp.array(src), jnp.array(tgt_corrupt), keep,
+            jax.random.PRNGKey(0))
+        assert bool(fit.valid)
+        np.testing.assert_allclose(float(fit.scale), s, rtol=0.05)
+        np.testing.assert_allclose(np.asarray(fit.translation), t, atol=0.1)
+
+    def test_fails_on_garbage(self):
+        src = RNG.uniform(-0.5, 0.5, size=(128, 3)).astype(np.float32)
+        tgt = RNG.normal(size=(128, 3)).astype(np.float32) * 10
+        fit = estimate_similarity_transform(
+            jnp.array(src), jnp.array(tgt), jnp.ones(128, dtype=bool),
+            jax.random.PRNGKey(1))
+        # inlier ratio on random correspondences is typically high under the
+        # auto threshold; just check the call returns finite values
+        assert np.isfinite(float(fit.scale))
+
+    def test_jit_and_vmap(self):
+        src, tgt, _ = make_instance(n=128, noise=0.01)
+        batch_src = jnp.stack([jnp.array(src)] * 4)
+        batch_tgt = jnp.stack([jnp.array(tgt)] * 4)
+        valid = jnp.ones((4, 128), dtype=bool)
+        keys = jax.random.split(jax.random.PRNGKey(0), 4)
+
+        fn = jax.jit(jax.vmap(
+            lambda s, t, v, k: estimate_similarity_transform(s, t, v, k)))
+        fits = fn(batch_src, batch_tgt, valid, keys)
+        assert fits.scale.shape == (4,)
+        assert np.all(np.isfinite(np.asarray(fits.scale)))
+
+    def test_padded_buffer(self):
+        src, tgt, (s, R, t) = make_instance(n=100, noise=0.002)
+        pad = 156
+        psrc = np.concatenate([src, np.zeros((pad, 3), np.float32)])
+        ptgt = np.concatenate([tgt, np.zeros((pad, 3), np.float32)])
+        pval = np.concatenate([np.ones(100, bool), np.zeros(pad, bool)])
+        fit = estimate_similarity_transform(
+            jnp.array(psrc), jnp.array(ptgt), jnp.array(pval),
+            jax.random.PRNGKey(3))
+        assert bool(fit.valid)
+        np.testing.assert_allclose(float(fit.scale), s, rtol=0.02)
+        np.testing.assert_allclose(np.asarray(fit.translation), t, atol=0.05)
