@@ -144,6 +144,7 @@ class TrackingConfig:
     """Tracker + association gates; reference `Tracking/options.py`, `tracking_front.py:9-22`."""
     seq_len: int = 25
     max_frame_dist: int = 5
+    undirected: bool = True
     # Min 3D IoU between pred and GT box for identity assignment
     # (`Tracking/mpn_trainer.py:46`, graph_dataset box_iou_thres).
     box_iou_thres: float = 0.01

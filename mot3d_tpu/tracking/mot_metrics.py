@@ -1,0 +1,162 @@
+"""MOT metric accumulation (MOTA / precision / recall / switches).
+
+Self-contained, motmetrics-compatible replacement for the reference's
+`motmetrics.MOTAccumulator` + `mm.metrics.compute` usage
+(`Tracking/tracker/tracking_front.py:946-1014`); motmetrics is not available
+in this environment.  Semantics follow motmetrics:
+
+  - per frame, previously established GT->hyp correspondences are re-applied
+    first when both sides are present and the gated distance is finite;
+  - the remainder is matched with the Hungarian algorithm on the distance
+    matrix (NaN = impossible pair);
+  - events: MATCH, SWITCH (a GT object matched to a different hypothesis than
+    its last known match), MISS (unmatched GT), FP (unmatched hypothesis);
+  - MOTA = 1 - (misses + fps + switches) / num_objects;
+    precision = detections / (detections + fps);
+    recall = detections / num_objects, detections = matches + switches.
+
+This is host-side evaluation code (as in the reference) — the association
+per frame is a tiny Hungarian problem, not a TPU workload.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Hashable, List, Sequence
+
+import numpy as np
+from scipy.optimize import linear_sum_assignment
+
+
+def norm2squared_matrix(objs: np.ndarray, hyps: np.ndarray,
+                        max_d2: float) -> np.ndarray:
+    """Pairwise squared L2, gated: entries > max_d2 become NaN
+    (motmetrics.distances.norm2squared_matrix)."""
+    objs = np.atleast_2d(np.asarray(objs, dtype=np.float64))
+    hyps = np.atleast_2d(np.asarray(hyps, dtype=np.float64))
+    if objs.size == 0 or hyps.size == 0:
+        return np.empty((len(objs), len(hyps)))
+    d2 = ((objs[:, None, :] - hyps[None, :, :]) ** 2).sum(-1)
+    return np.where(d2 > max_d2, np.nan, d2)
+
+
+class MOTAccumulator:
+    """Frame-by-frame event accumulator."""
+
+    def __init__(self) -> None:
+        self.last_match: Dict[Hashable, Hashable] = {}
+        self.num_objects = 0
+        self.num_hypotheses = 0
+        self.num_matches = 0
+        self.num_switches = 0
+        self.num_misses = 0
+        self.num_false_positives = 0
+        self.num_frames = 0
+        self.events: List[tuple] = []
+
+    def update(self, gt_ids: Sequence[Hashable], hyp_ids: Sequence[Hashable],
+               dists: np.ndarray) -> None:
+        """dists: (len(gt_ids), len(hyp_ids)), NaN = pair not allowed."""
+        self.num_frames += 1
+        self.num_objects += len(gt_ids)
+        self.num_hypotheses += len(hyp_ids)
+        dists = np.asarray(dists, dtype=np.float64).reshape(
+            len(gt_ids), len(hyp_ids))
+
+        matched_g: Dict[int, int] = {}
+        used_h: set = set()
+
+        # 1) continuity: re-apply previous correspondences when still valid.
+        for gi, g in enumerate(gt_ids):
+            h_prev = self.last_match.get(g)
+            if h_prev is None or h_prev not in hyp_ids:
+                continue
+            hi = list(hyp_ids).index(h_prev)
+            if hi in used_h or np.isnan(dists[gi, hi]):
+                continue
+            matched_g[gi] = hi
+            used_h.add(hi)
+
+        # 2) Hungarian on the remainder.
+        rem_g = [i for i in range(len(gt_ids)) if i not in matched_g]
+        rem_h = [j for j in range(len(hyp_ids)) if j not in used_h]
+        if rem_g and rem_h:
+            sub = dists[np.ix_(rem_g, rem_h)]
+            cost = np.where(np.isnan(sub), 1e18, sub)
+            rows, cols = linear_sum_assignment(cost)
+            for r, c in zip(rows, cols):
+                if np.isnan(sub[r, c]):
+                    continue
+                matched_g[rem_g[r]] = rem_h[c]
+                used_h.add(rem_h[c])
+
+        # 3) events.
+        for gi, hi in matched_g.items():
+            g, h = gt_ids[gi], hyp_ids[hi]
+            prev = self.last_match.get(g)
+            if prev is not None and prev != h:
+                self.num_switches += 1
+                self.events.append(("SWITCH", self.num_frames - 1, g, h))
+            else:
+                self.num_matches += 1
+                self.events.append(("MATCH", self.num_frames - 1, g, h))
+            self.last_match[g] = h
+        for gi in range(len(gt_ids)):
+            if gi not in matched_g:
+                self.num_misses += 1
+                self.events.append(("MISS", self.num_frames - 1, gt_ids[gi], None))
+        for hi in range(len(hyp_ids)):
+            if hi not in used_h:
+                self.num_false_positives += 1
+                self.events.append(("FP", self.num_frames - 1, None, hyp_ids[hi]))
+
+    def summary(self) -> Dict[str, float]:
+        detections = self.num_matches + self.num_switches
+        n_obj = max(self.num_objects, 1)
+        return {
+            "num_frames": self.num_frames,
+            "mota": 1.0 - (self.num_misses + self.num_false_positives
+                           + self.num_switches) / n_obj,
+            "precision": detections / max(detections + self.num_false_positives, 1),
+            "recall": detections / n_obj,
+            "num_objects": self.num_objects,
+            "num_matches": self.num_matches,
+            "num_misses": self.num_misses,
+            "num_false_positives": self.num_false_positives,
+            "num_switches": self.num_switches,
+        }
+
+
+def mot_summary(pred_table, gt_table, seq_len: int,
+                l2_gate: float = 0.4) -> Dict[str, float]:
+    """MOTA summary from trajectory tables.
+
+    Tables are pandas DataFrames with columns
+    [scan_idx, world_x, world_y, world_z, obj_idx, obj_cls] — the schema of
+    the reference's `get_traj_table` (`tracking_front.py:845-878`).
+    Mirrors `eval_mota` (`tracking_front.py:946-979`): per frame, the distance
+    matrix is the squared-L2 gated at l2_gate.
+    """
+    acc = MOTAccumulator()
+    cols = ["world_x", "world_y", "world_z"]
+    for scan_idx in range(seq_len):
+        gt_rows = gt_table[gt_table["scan_idx"] == scan_idx]
+        pr_rows = pred_table[pred_table["scan_idx"] == scan_idx]
+        gt_ids = gt_rows["obj_idx"].tolist()
+        hyp_ids = [int(v) for v in pr_rows["obj_idx"].tolist()]
+        dists = norm2squared_matrix(
+            gt_rows[cols].to_numpy() if len(gt_rows) else np.zeros((0, 3)),
+            pr_rows[cols].to_numpy() if len(pr_rows) else np.zeros((0, 3)),
+            max_d2=l2_gate)
+        acc.update(gt_ids, hyp_ids, dists)
+    return acc.summary()
+
+
+def accumulated_mota(summaries: Sequence[Dict[str, float]]) -> float:
+    """Dataset-level MOTA from per-sequence summaries:
+    1 - (sum misses + FPs + switches) / (sum objects)
+    (`Tracking/utils/eval_utils.py:43-64`, get_mota_df)."""
+    miss = sum(s["num_misses"] for s in summaries)
+    fp = sum(s["num_false_positives"] for s in summaries)
+    sw = sum(s["num_switches"] for s in summaries)
+    obj = max(sum(s["num_objects"] for s in summaries), 1)
+    return 1.0 - (miss + fp + sw) / obj
