@@ -1,0 +1,62 @@
+"""Padded non-maximum suppression (static shapes, no dynamic filtering).
+
+TPU-native replacement for detectron2's CUDA NMS (RPN proposal selection and
+test-time box filtering, `Detection/cfg_setup.py:123` NMS_THRESH_TEST=0.4).
+
+Algorithm: sort by score, compute the (K, K) pairwise-IoU matrix once (an
+MXU-shaped batch of reductions), then a `lax.fori_loop` scan over ranks that
+keeps box i iff no higher-ranked *kept* box overlaps it above the threshold —
+the classic suppression-matrix formulation, O(K^2) vector work instead of
+data-dependent control flow.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mot3d_tpu.geometry.iou3d import box2d_iou_matrix
+
+
+def nms_mask(boxes: jax.Array, scores: jax.Array, valid: jax.Array,
+             iou_threshold: float) -> jax.Array:
+    """Returns a keep-mask (K,) for XYXY boxes (K, 4); invalid boxes dropped.
+
+    Equivalent (same kept set) to torchvision/detectron2 NMS on the valid
+    subset; deterministic tie-breaks by input order after score sort.
+    """
+    k = boxes.shape[0]
+    order = jnp.argsort(jnp.where(valid, -scores, jnp.inf))
+    sboxes = boxes[order]
+    svalid = valid[order]
+    iou = box2d_iou_matrix(sboxes, sboxes)
+    # overlap[i, j]: candidate j is suppressed by kept i (i ranked higher).
+    tri = jnp.tril(jnp.ones((k, k), bool), -1).T  # upper triangle, i < j
+    suppress = jnp.logical_and(iou > iou_threshold, tri)
+
+    def body(i, keep):
+        # j suppressed if any kept i<j suppresses it.
+        row = jnp.logical_and(suppress[:, i], keep)
+        keep_i = jnp.logical_and(svalid[i], ~row.any())
+        return keep.at[i].set(keep_i)
+
+    keep_sorted = jax.lax.fori_loop(0, k, body, jnp.zeros(k, bool))
+    keep = jnp.zeros(k, bool).at[order].set(keep_sorted)
+    return keep
+
+
+def batched_nms_mask(boxes: jax.Array, scores: jax.Array, idxs: jax.Array,
+                     valid: jax.Array, iou_threshold: float) -> jax.Array:
+    """Category-aware NMS: boxes of different `idxs` never suppress each
+    other (the detectron2 batched_nms coordinate-offset trick)."""
+    max_coord = jnp.max(jnp.where(valid[:, None], boxes, 0.0)) + 1.0
+    offsets = idxs.astype(boxes.dtype) * max_coord
+    shifted = boxes + offsets[:, None]
+    return nms_mask(shifted, scores, valid, iou_threshold)
+
+
+def top_k_by_score(scores: jax.Array, valid: jax.Array, k: int):
+    """Indices + validity of the top-k valid scores (padded, stable)."""
+    masked = jnp.where(valid, scores, -jnp.inf)
+    top_scores, idx = jax.lax.top_k(masked, k)
+    return idx, jnp.isfinite(top_scores)

@@ -1,0 +1,151 @@
+"""ROIAlign over an FPN pyramid as one XLA gather pass.
+
+TPU-native replacement for detectron2's CUDA ROIAlign
+(`Detection/roi_heads/roi_heads.py:59-97` poolers; also reused for NOCS patch
+resizing at `Detection/roi_heads/nocs_head.py:83,105` and
+`Detection/tracker/postprocess.py:145`).
+
+Design: instead of detectron2's per-level pooling with dynamic box
+partitioning, all levels are flattened into one (sum_l H_l * W_l, C) row
+matrix; each box computes its FPN level (the standard
+floor(4 + log2(sqrt(area)/224)) rule), its bilinear sample coordinates in
+that level's grid, and gathers rows directly — static shapes, one gather,
+no per-level scatter/compaction.  Semantics are detectron2 ROIAlignV2
+(`aligned=True`): half-pixel offset, `sampling_ratio` x `sampling_ratio`
+sample points per output bin (default 2, matching sampling_ratio=0 for
+typical box sizes), average-pooled, zero outside the feature map.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _bilinear_weights(coord, size):
+    """coord: fractional positions (...,); size: extent of that axis.
+    Returns (idx0, idx1, w0, w1) with zero weight outside [-1, size)."""
+    valid = jnp.logical_and(coord > -1.0, coord < size)
+    c = jnp.clip(coord, 0.0, size - 1.0)
+    i0 = jnp.floor(c)
+    i1 = jnp.minimum(i0 + 1, size - 1)
+    w1 = c - i0
+    w0 = 1.0 - w1
+    w0 = jnp.where(valid, w0, 0.0)
+    w1 = jnp.where(valid, w1, 0.0)
+    return i0.astype(jnp.int32), i1.astype(jnp.int32), w0, w1
+
+
+def roi_align(feature: jax.Array, boxes: jax.Array, output_size: int,
+              spatial_scale: float = 1.0, sampling_ratio: int = 2) -> jax.Array:
+    """ROIAlign on a single feature map.
+
+    feature: (H, W, C); boxes: (N, 4) XYXY in image coords.
+    Returns (N, output_size, output_size, C).
+    """
+    h, w, c = feature.shape
+    out = output_size
+    s = sampling_ratio
+
+    b = boxes * spatial_scale - 0.5  # aligned=True half-pixel offset
+    x0, y0, x1, y1 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
+    bw = x1 - x0
+    bh = y1 - y0
+    bin_w = bw / out
+    bin_h = bh / out
+
+    # Sample grid: (out, s) offsets within the roi, broadcast over boxes.
+    cell = (jnp.arange(out)[:, None] + (jnp.arange(s)[None, :] + 0.5) / s)  # (out, s)
+    ys = y0[:, None, None] + cell[None] * bin_h[:, None, None]  # (N, out, s)
+    xs = x0[:, None, None] + cell[None] * bin_w[:, None, None]
+
+    iy0, iy1, wy0, wy1 = _bilinear_weights(ys, h)
+    ix0, ix1, wx0, wx1 = _bilinear_weights(xs, w)
+
+    flat = feature.reshape(h * w, c)
+
+    def gather(iy, ix):
+        # (N, out, s) x (N, out, s) -> (N, out, s, out, s, C)
+        idx = iy[:, :, :, None, None] * w + ix[:, None, None, :, :]
+        return flat[idx.reshape(idx.shape[0], -1)].reshape(
+            idx.shape + (c,))
+
+    wy = (wy0, wy1)
+    wx = (wx0, wx1)
+    acc = 0.0
+    for a, iy in enumerate((iy0, iy1)):
+        for bxi, ix in enumerate((ix0, ix1)):
+            val = gather(iy, ix)
+            wgt = (wy[a][:, :, :, None, None] * wx[bxi][:, None, None, :, :])
+            acc = acc + val * wgt[..., None]
+    # Average over the s x s sample points -> (N, out, out, C).
+    return acc.mean(axis=(2, 4))
+
+
+def assign_fpn_level(boxes: jax.Array, min_level: int = 2, max_level: int = 5,
+                     canonical_size: float = 224.0,
+                     canonical_level: int = 4) -> jax.Array:
+    """Box -> FPN level via floor(L0 + log2(sqrt(area)/224)) (FPN paper rule,
+    as detectron2 poolers)."""
+    area = jnp.clip(boxes[:, 2] - boxes[:, 0], 0) * jnp.clip(boxes[:, 3] - boxes[:, 1], 0)
+    scale = jnp.sqrt(jnp.maximum(area, 1e-12))
+    lvl = jnp.floor(canonical_level + jnp.log2(scale / canonical_size + 1e-12))
+    return jnp.clip(lvl, min_level, max_level).astype(jnp.int32)
+
+
+def multilevel_roi_align(features: Sequence[jax.Array], boxes: jax.Array,
+                         output_size: int, strides: Sequence[int],
+                         min_level: int = 2,
+                         sampling_ratio: int = 2) -> jax.Array:
+    """ROIAlign over a feature pyramid via one flattened gather.
+
+    features: list of (H_l, W_l, C), finest first; strides: image stride of
+    each level.  boxes: (N, 4) XYXY image coords.
+    Returns (N, output_size, output_size, C).
+    """
+    c = features[0].shape[-1]
+    dims = np.array([(f.shape[0], f.shape[1]) for f in features])
+    offsets = np.concatenate([[0], np.cumsum(dims[:, 0] * dims[:, 1])])
+    flat = jnp.concatenate([f.reshape(-1, c) for f in features], axis=0)
+
+    lvl = assign_fpn_level(boxes, min_level, min_level + len(features) - 1)
+    li = lvl - min_level
+    h_l = jnp.asarray(dims[:, 0])[li].astype(jnp.float32)   # (N,)
+    w_l = jnp.asarray(dims[:, 1])[li].astype(jnp.float32)
+    off_l = jnp.asarray(offsets[:-1])[li]                   # (N,)
+    stride_l = jnp.asarray(np.asarray(strides, np.float32))[li]
+
+    out, s = output_size, sampling_ratio
+    b = boxes / stride_l[:, None] - 0.5
+    x0, y0 = b[:, 0], b[:, 1]
+    bin_w = (b[:, 2] - x0) / out
+    bin_h = (b[:, 3] - y0) / out
+
+    cell = (jnp.arange(out)[:, None] + (jnp.arange(s)[None, :] + 0.5) / s)
+    ys = y0[:, None, None] + cell[None] * bin_h[:, None, None]
+    xs = x0[:, None, None] + cell[None] * bin_w[:, None, None]
+
+    iy0, iy1, wy0, wy1 = _bilinear_weights(ys, h_l[:, None, None])
+    ix0, ix1, wx0, wx1 = _bilinear_weights(xs, w_l[:, None, None])
+
+    wint = jnp.asarray(dims[:, 1])[li]  # integer row width per box
+
+    def gather(iy, ix):
+        idx = (off_l[:, None, None, None, None]
+               + iy[:, :, :, None, None] * wint[:, None, None, None, None]
+               + ix[:, None, None, :, :])
+        n = idx.shape[0]
+        return flat[idx.reshape(n, -1)].reshape(idx.shape + (c,))
+
+    wy = (wy0, wy1)
+    wx = (wx0, wx1)
+    acc = 0.0
+    for a, iy in enumerate((iy0, iy1)):
+        for bxi, ix in enumerate((ix0, ix1)):
+            val = gather(iy, ix)
+            wgt = (wy[a][:, :, :, None, None] * wx[bxi][:, None, None, :, :])
+            acc = acc + val * wgt[..., None]
+    return acc.mean(axis=(2, 4))

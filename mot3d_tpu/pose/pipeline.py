@@ -1,0 +1,277 @@
+"""On-device pose pipeline: NOCS + depth -> 7-DoF similarity -> world boxes.
+
+TPU-native re-design of `PoseEst/pose_estimation.py` (run_pose :245-412,
+run_crop_3dbbox :189-243) and the detect->track bridge
+`Detection/tracker/postprocess.py:22-238` (postprocess_dets).  The reference
+runs this per object on the host (NumPy + open3d + 100-iteration Python
+RANSAC) — its main structural bottleneck (SURVEY.md §3.2).  Here the whole
+frame is one jit program: every detection's backprojection, outlier removal,
+RANSAC/Umeyama and box extraction is vmapped over padded instance slots.
+
+Faithful behaviours:
+  - depth and NOCS are zeroed outside the detection box (:259-267);
+  - optional GT-box depth cleaning, applied only if > 20 points survive
+    (:293-299);
+  - statistical outlier removal on the depth cloud, then on the NOCS cloud
+    with the depth cloud truncated accordingly (:310-349), each skipped
+    under 100 points;
+  - pose = RANSAC + Umeyama CAD->cam (NOCS - 0.5 as source), chained with
+    the campose; world box = axis-aligned box of the *depth* points in world
+    space (use_depth_box=True), canonical corner order (:372-380);
+  - rotations exported as XYZ euler of the scale-normalised rotation
+    (postprocess.py:157-160);
+  - gating: objectness > 0.35, max 2D IoU vs GT >= 0.35, patch >= 3 px
+    (postprocess.py:22,116-136).
+
+Differentiability: the solver is JAX end to end; `stop_gradient` is applied
+when cfg.pose.differentiable is False (parity with `postprocess.py:151`,
+reshape_nocs.detach()).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from mot3d_tpu.config import Config
+from mot3d_tpu.geometry.backproject import backproject_depth, gather_masked_values
+from mot3d_tpu.geometry.iou3d import box2d_iou_matrix
+from mot3d_tpu.geometry.outlier import statistical_outlier_mask
+from mot3d_tpu.geometry.transforms import (_CANONICAL_SIGNS, aabb_corners,
+                                           cam_to_world, rotmat_to_euler,
+                                           sort_bbox)
+from mot3d_tpu.geometry.umeyama import (apply_similarity,
+                                        estimate_similarity_transform)
+from mot3d_tpu.ops.precision import high_precision
+
+
+class PoseResult(NamedTuple):
+    valid: jax.Array        # () bool
+    rotation: jax.Array     # (3, 3) world rotation (scale embedded, as ref)
+    euler: jax.Array        # (3,) XYZ euler of the scale-normalised rotation
+    translation: jax.Array  # (3,) world
+    scale: jax.Array        # () isotropic
+    world_box: jax.Array    # (8, 3) canonical AABB of world depth points
+
+
+def _box_interior_mask(shape, box_xyxy):
+    h, w = shape
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    bx = jnp.floor(box_xyxy)
+    return ((ys >= bx[1]) & (ys < bx[3]) & (xs >= bx[0]) & (xs < bx[2]))
+
+
+def _masked_aabb(points, valid):
+    big = jnp.asarray(jnp.inf, points.dtype)
+    mins = jnp.where(valid[:, None], points, big).min(0)
+    maxs = jnp.where(valid[:, None], points, -big).max(0)
+    ok = valid.any()
+    mins = jnp.where(ok, mins, 0.0)
+    maxs = jnp.where(ok, maxs, 0.0)
+    return mins, maxs
+
+
+@high_precision
+def crop_gt_box3d(depth, campose, intrinsics, gt_box3d, gt_box2d, gt_mask,
+                  clean_min_points: int = 1):
+    """Crop a GT world-space 3D box to the depth-visible extent.
+
+    Mirrors `run_crop_3dbbox` + `crop_gt_bbox` (`pose_estimation.py:136-243`):
+    backproject the masked depth inside the GT 2D box, keep points inside the
+    GT 3D box's AABB, and clamp each canonical corner to the visible extent
+    (plus-signed components min'd with the max, minus-signed max'd with the
+    min).  Returns the original sorted box when nothing is visible.
+    """
+    box = sort_bbox(gt_box3d)
+    interior = _box_interior_mask(depth.shape, gt_box2d)
+    pts, valid = backproject_depth(depth * interior, intrinsics, gt_mask)
+    flat_pts = pts.reshape(-1, 3)
+    flat_valid = valid.reshape(-1)
+    world = cam_to_world(flat_pts, campose)
+    gmin = box.min(0)
+    gmax = box.max(0)
+    inside = jnp.all((world > gmin) & (world < gmax), axis=-1)
+    keep = flat_valid & inside
+    dmin, dmax = _masked_aabb(world, keep)
+    signs = _CANONICAL_SIGNS  # canonical corner sign pattern
+    cropped = jnp.where(signs > 0, jnp.minimum(box, dmax),
+                        jnp.maximum(box, dmin))
+    ok = keep.sum() >= clean_min_points
+    return jnp.where(ok, cropped, box)
+
+
+@high_precision
+def estimate_object_pose(nocs_patch, depth, campose, intrinsics, mask,
+                         box_xyxy, key, cfg: Config,
+                         gt_box3d: Optional[jax.Array] = None) -> PoseResult:
+    """Pose of one detection (vmap over instance slots for a whole frame).
+
+    nocs_patch: (28, 28, 3) NOCS prediction for the box; depth (H, W);
+    mask (H, W) predicted instance mask; box_xyxy in image coords.
+    """
+    p = cfg.pose
+    interior = _box_interior_mask(depth.shape, box_xyxy)
+    pts_map, valid = backproject_depth(depth * interior, intrinsics, mask)
+
+    # NOCS value per pixel: bilinear sample of the 28x28 patch over the box.
+    h, w = depth.shape
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    g = nocs_patch.shape[0]
+    fx = (xs - box_xyxy[0]) / jnp.maximum(box_xyxy[2] - box_xyxy[0], 1e-6) * g - 0.5
+    fy = (ys - box_xyxy[1]) / jnp.maximum(box_xyxy[3] - box_xyxy[1], 1e-6) * g - 0.5
+    fx = jnp.clip(fx, 0.0, g - 1.0)
+    fy = jnp.clip(fy, 0.0, g - 1.0)
+    ix0 = jnp.floor(fx).astype(jnp.int32)
+    iy0 = jnp.floor(fy).astype(jnp.int32)
+    ix1 = jnp.minimum(ix0 + 1, g - 1)
+    iy1 = jnp.minimum(iy0 + 1, g - 1)
+    wx = fx - ix0
+    wy = fy - iy0
+    nocs_map = (nocs_patch[iy0, ix0] * ((1 - wy) * (1 - wx))[..., None]
+                + nocs_patch[iy0, ix1] * ((1 - wy) * wx)[..., None]
+                + nocs_patch[iy1, ix0] * (wy * (1 - wx))[..., None]
+                + nocs_patch[iy1, ix1] * (wy * wx)[..., None])
+
+    # Optional GT-box depth cleaning (pose_estimation.py:293-299).
+    if gt_box3d is not None:
+        world = cam_to_world(pts_map.reshape(-1, 3), campose).reshape(pts_map.shape)
+        gmin = gt_box3d.min(0)
+        gmax = gt_box3d.max(0)
+        inside = jnp.all((world > gmin) & (world < gmax), axis=-1)
+        cleaned = valid & inside
+        use_clean = cleaned.sum() > p.clean_depth_min_points
+        valid = jnp.where(use_clean, cleaned, valid)
+
+    feats = jnp.concatenate([pts_map, nocs_map], axis=-1)
+    buf, bval, _ = gather_masked_values(feats, valid, p.max_points)
+    depth_pts, nocs_vals = buf[:, :3], buf[:, 3:]
+
+    # Outlier removal: depth cloud, then NOCS cloud (:310-349).
+    keep = statistical_outlier_mask(depth_pts, bval, p.outlier_nb_neighbors,
+                                    p.outlier_std_ratio, p.outlier_min_points)
+    nocs_pts = nocs_vals - 0.5
+    keep = statistical_outlier_mask(nocs_pts, keep, p.outlier_nb_neighbors,
+                                    p.outlier_std_ratio, p.outlier_min_points)
+
+    if not p.differentiable:
+        nocs_pts = jax.lax.stop_gradient(nocs_pts)
+        depth_pts = jax.lax.stop_gradient(depth_pts)
+
+    fit = estimate_similarity_transform(
+        nocs_pts, depth_pts, keep, key, p.ransac_iters, p.ransac_sample_size,
+        p.ratio_adapt, p.min_inlier_ratio, p.stop_divisor)
+
+    # Chain CAD->cam with cam->world (:400-407).
+    obj_tocam = jnp.eye(4)
+    obj_tocam = obj_tocam.at[:3, :3].set(fit.scale * fit.rotation.T)
+    obj_tocam = obj_tocam.at[:3, 3].set(fit.translation)
+    global_tf = campose @ obj_tocam
+    global_rot = global_tf[:3, :3]
+    global_trans = global_tf[:3, 3]
+
+    # World box from the cleaned depth points (use_depth_box=True, :374-377).
+    depth_world = cam_to_world(depth_pts, campose)
+    dmin, dmax = _masked_aabb(depth_world, keep)
+    world_box = aabb_corners(dmin, dmax)
+
+    # Euler of the scale-normalised rotation (postprocess.py:157-160).
+    col_scale = jnp.linalg.norm(global_rot, axis=0)
+    unscaled = global_rot / jnp.maximum(col_scale, 1e-12)[None, :]
+    euler = rotmat_to_euler(unscaled)
+
+    ok = jnp.logical_and(fit.valid, keep.sum() >= p.ransac_sample_size)
+    return PoseResult(ok, global_rot, euler, global_trans, fit.scale,
+                      world_box)
+
+
+class FrameDetectionsDevice(NamedTuple):
+    """Padded per-frame tracking inputs, on device (postprocess output)."""
+
+    valid: jax.Array         # (I,)
+    classes: jax.Array       # (I,)
+    rotations: jax.Array     # (I, 3) euler
+    translations: jax.Array  # (I, 3) world
+    scales: jax.Array        # (I,)
+    voxels: jax.Array        # (I, 32, 32, 32) binarised
+    pred_boxes: jax.Array    # (I, 8, 3) world corner boxes
+    objectness: jax.Array    # (I,)
+
+
+@high_precision
+def postprocess_frame(det_boxes, det_scores, det_classes, det_valid,
+                      det_masks, det_voxels, det_nocs,
+                      gt_boxes2d, gt_valid, depth, campose, intrinsics,
+                      gt_boxes3d_cropped, key, cfg: Config,
+                      use_gt_gate: bool = True) -> FrameDetectionsDevice:
+    """The detect->track bridge for one frame (postprocess_dets equivalent).
+
+    det_*: padded detector outputs (I slots); det_masks are 28x28 mask probs
+    pasted by this function via their boxes; gt_boxes3d_cropped (M, 8, 3) is
+    the output of `crop_gt_box3d` per GT object, used for depth cleaning.
+    With use_gt_gate=False (office mode, postprocess_dets_office), the 2D-IoU
+    gate and GT depth-clean are skipped.
+    """
+    c = cfg.combined
+    i_slots = det_boxes.shape[0]
+    h, w = depth.shape
+
+    keep = jnp.logical_and(det_valid, det_scores > c.objectness_thres)
+    # Patch-size gate (>= 3 px, postprocess.py:131-136).
+    pw = det_boxes[:, 2] - det_boxes[:, 0]
+    ph = det_boxes[:, 3] - det_boxes[:, 1]
+    keep = jnp.logical_and(keep, jnp.logical_or(pw >= 3, ph >= 3))
+
+    if use_gt_gate:
+        iou = box2d_iou_matrix(det_boxes, gt_boxes2d)
+        iou = jnp.where(gt_valid[None, :], iou, -1.0)
+        best_gt = jnp.argmax(iou, 1)
+        keep = jnp.logical_and(keep, jnp.max(iou, 1) >= c.iou2d_thres)
+        matched_gt_box3d = gt_boxes3d_cropped[best_gt]
+    else:
+        matched_gt_box3d = None
+
+    # Paste 28x28 mask probs into full-image binary masks via their boxes.
+    def paste_mask(mask28, box):
+        ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+        xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+        g = mask28.shape[0]
+        fx = (xs - box[0]) / jnp.maximum(box[2] - box[0], 1e-6) * g - 0.5
+        fy = (ys - box[1]) / jnp.maximum(box[3] - box[1], 1e-6) * g - 0.5
+        inside = (fx > -0.5) & (fx < g - 0.5) & (fy > -0.5) & (fy < g - 0.5)
+        fxc = jnp.clip(fx, 0.0, g - 1.0)
+        fyc = jnp.clip(fy, 0.0, g - 1.0)
+        x0 = jnp.floor(fxc).astype(jnp.int32)
+        y0 = jnp.floor(fyc).astype(jnp.int32)
+        x1 = jnp.minimum(x0 + 1, g - 1)
+        y1 = jnp.minimum(y0 + 1, g - 1)
+        wx = fxc - x0
+        wy = fyc - y0
+        v = (mask28[y0, x0] * (1 - wy) * (1 - wx) + mask28[y0, x1] * (1 - wy) * wx
+             + mask28[y1, x0] * wy * (1 - wx) + mask28[y1, x1] * wy * wx)
+        return jnp.logical_and(inside, v >= 0.5)
+
+    full_masks = jax.vmap(paste_mask)(det_masks, det_boxes)
+
+    keys = jax.random.split(key, i_slots)
+    if use_gt_gate:
+        poses = jax.vmap(
+            lambda nc, m, b, k, g3: estimate_object_pose(
+                nc, depth, campose, intrinsics, m, b, k, cfg, g3)
+        )(det_nocs, full_masks, det_boxes, keys, matched_gt_box3d)
+    else:
+        poses = jax.vmap(
+            lambda nc, m, b, k: estimate_object_pose(
+                nc, depth, campose, intrinsics, m, b, k, cfg)
+        )(det_nocs, full_masks, det_boxes, keys)
+
+    valid = jnp.logical_and(keep, poses.valid)
+    voxels_bin = (det_voxels >= c.voxel_thres).astype(jnp.float32)
+    return FrameDetectionsDevice(
+        valid=valid, classes=det_classes, rotations=poses.euler,
+        translations=poses.translation, scales=poses.scale,
+        voxels=voxels_bin, pred_boxes=poses.world_box,
+        objectness=det_scores)
