@@ -1,0 +1,224 @@
+"""End-to-end benchmark: MOTFront frames/sec/chip for detect+pose+track.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "frames/sec", "vs_baseline": N}
+
+Pipeline measured (BASELINE.json configs #1-#4 combined): Mask R-CNN R50-FPN
+inference at full MOTFront resolution -> on-device NOCS/depth pose fitting
+(RANSAC + Umeyama, statistical outlier removal) per detection -> sequence
+graph build + MPN edge classification -> host trajectory assembly + MOTA.
+
+Baseline: the reference publishes no numbers (BASELINE.md).  As a measurable,
+conservative anchor we time the reference's own NumPy pose solver
+(`/root/reference/PoseEst/pose_utils.py`, imported read-only) on identical
+point sets, and scale to a per-frame cost using the same number of objects.
+This *understates* the reference's true end-to-end cost (it ignores its
+detector forward, open3d outlier removal, CPU graph build and host<->GPU
+traffic), so vs_baseline is a lower bound on the real speedup.
+
+Env: BENCH_SEQS (default 4) sequences of 25 frames; BENCH_SKIP_DETECTOR=1
+benchmarks the pose+track half only.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def measure_reference_pose_baseline(points_per_obj=1024, objects=8, reps=3):
+    """Time the reference NumPy RANSAC+Umeyama solver per object (host)."""
+    sys.path.insert(0, "/root/reference/PoseEst")
+    try:
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "ref_pose_utils", "/root/reference/PoseEst/pose_utils.py")
+        ref = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ref)
+    except Exception as e:  # pragma: no cover
+        log("reference import failed:", e)
+        return None
+    rng = np.random.default_rng(0)
+    src = rng.uniform(-0.5, 0.5, (points_per_obj, 3))
+    tgt = 1.3 * src + np.array([0.2, 0.1, -2.5]) + rng.normal(
+        scale=0.01, size=src.shape)
+    t0 = time.perf_counter()
+    n = 0
+    for _ in range(reps):
+        for _ in range(objects):
+            ref.estimateSimilarityTransform(src, tgt)
+            n += 1
+    return (time.perf_counter() - t0) / n
+
+
+def main():
+    num_seqs = int(os.environ.get("BENCH_SEQS", "4"))
+    skip_detector = os.environ.get("BENCH_SKIP_DETECTOR", "0") == "1"
+
+    from mot3d_tpu.runtime import enable_compilation_cache
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+    log("devices:", jax.devices())
+
+    from mot3d_tpu.config import default_config
+    from mot3d_tpu.data.synthetic import synthetic_sequence
+    from mot3d_tpu.data.synthetic_detection import synthetic_detection_scene
+    from mot3d_tpu.geometry.backproject import make_intrinsics
+    from mot3d_tpu.models.mask_rcnn import MaskRCNN
+    from mot3d_tpu.models.mpn import TrackerModel
+    from mot3d_tpu.pose.pipeline import postprocess_frame
+    from mot3d_tpu.tracking import Tracker, build_graph
+    from mot3d_tpu.tracking.graph_builder import make_template
+
+    cfg = default_config()
+    tcfg = cfg.tracking
+    dcfg = cfg.detection
+    cam = cfg.camera
+    T = tcfg.seq_len
+    intrinsics = make_intrinsics(cam.fx, cam.fy, cam.cx, cam.cy)
+
+    # ---------------- models (random weights; throughput benchmark) -------
+    det_model = MaskRCNN(dcfg)
+    trk_model = TrackerModel(cfg.graph)
+    template = make_template(T, dcfg.detections_per_image, tcfg.max_frame_dist)
+
+    scene = synthetic_detection_scene(dcfg, batch=1, num_objects=4, seed=0)
+    frame_images = jnp.tile(jnp.asarray(scene.images), (5, 1, 1, 1))
+
+    rng = np.random.default_rng(0)
+    depth = jnp.asarray(rng.uniform(1.0, 4.0, (T, cam.height, cam.width)),
+                        jnp.float32)
+    campose = jnp.tile(jnp.eye(4), (T, 1, 1))
+    M = dcfg.max_instances
+    gt_boxes2d = jnp.tile(jnp.asarray(scene.boxes[0]), (T, 1, 1))
+    gt_valid2d = jnp.tile(jnp.asarray(scene.valid[0]), (T, 1))
+    gt_boxes3d = jnp.asarray(rng.normal(size=(T, M, 8, 3)), jnp.float32)
+
+    if not skip_detector:
+        det_params = jax.jit(lambda k: det_model.init(
+            k, frame_images, method=MaskRCNN.predict))(jax.random.PRNGKey(0))
+        predict = jax.jit(
+            lambda p, im: det_model.apply(p, im, method=MaskRCNN.predict))
+        log("compiling detector predict ...")
+        t0 = time.time()
+        dets = jax.block_until_ready(predict(det_params, frame_images))
+        log(f"  detector compile+run: {time.time() - t0:.1f}s")
+
+    # Pose: whole sequence vmapped over frames.
+    D = dcfg.detections_per_image
+
+    # Per-frame jit (small program; the 25-frame fused variant compiles too
+    # slowly through this environment's remote-compile tunnel).
+    pose_frame_jit = jax.jit(
+        lambda bx, sc, cl, va, ma, vo, no, g2, gv, de, cp, g3, k:
+        postprocess_frame(bx, sc, cl, va, ma, vo, no, g2, gv, de, cp,
+                          intrinsics, g3, k, cfg))
+
+    def pose_jit(boxes, scores, classes, valid, masks, voxels, nocs, key):
+        keys = jax.random.split(key, T)
+        outs = [pose_frame_jit(boxes[i], scores[i], classes[i], valid[i],
+                               masks[i], voxels[i], nocs[i], gt_boxes2d[i],
+                               gt_valid2d[i], depth[i], campose[i],
+                               gt_boxes3d[i], keys[i]) for i in range(T)]
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *outs)
+
+    def track_sequence(frames_valid, trans, rots, scales, boxes3d, voxels,
+                       trk_params):
+        graph = build_graph(template, tcfg, frames_valid, trans, rots,
+                            scales, boxes3d,
+                            jnp.tile(gt_boxes3d, (1, 1, 1, 1)),
+                            jnp.zeros((T, M), jnp.int32),
+                            jnp.zeros((T, M), bool))
+        vox = voxels.reshape(-1, 32, 32, 32)
+        logits = trk_model.apply(trk_params, vox, graph.src, graph.dst,
+                                 graph.edge_attr, graph.edge_mask)
+        return jax.nn.sigmoid(logits[-1]), graph.obj_ids
+
+    track_jit = jax.jit(track_sequence)
+
+    e2 = len(template.src_frame) * 2
+    n_nodes = T * D
+    trk_params = jax.jit(lambda k: trk_model.init(
+        k, jnp.zeros((n_nodes, 32, 32, 32)), jnp.zeros(e2, jnp.int32),
+        jnp.zeros(e2, jnp.int32), jnp.zeros((e2, 8)),
+        jnp.zeros(e2, bool)))(jax.random.PRNGKey(1))
+
+    # ---------------- warmup (compile everything) --------------------------
+    def run_sequence(seed):
+        key = jax.random.PRNGKey(seed)
+        if skip_detector:
+            boxes = jnp.tile(jnp.asarray(scene.boxes[0, :D if D <= M else M]),
+                             (T, 1, 1))
+            boxes = jnp.pad(boxes, ((0, 0), (0, max(0, D - M)), (0, 0)))
+            scores = jnp.full((T, D), 0.9)
+            classes = jnp.zeros((T, D), jnp.int32)
+            valid = jnp.ones((T, D), bool)
+            masks = jnp.ones((T, D, 28, 28))
+            voxels = jnp.zeros((T, D, 32, 32, 32))
+            nocs = jnp.full((T, D, 28, 28, 3), 0.5)
+        else:
+            det_list = [predict(det_params, frame_images) for _ in range(T // 5)]
+            stackf = lambda f: jnp.concatenate([getattr(d, f) for d in det_list])
+            boxes, scores = stackf("boxes"), stackf("scores")
+            classes, valid = stackf("classes"), stackf("valid")
+            masks, voxels, nocs = stackf("masks"), stackf("voxels"), stackf("nocs")
+        frames = pose_jit(boxes, scores, classes, valid, masks, voxels, nocs,
+                          key)
+        probs, obj_ids = track_jit(frames.valid, frames.translations,
+                                   frames.rotations, frames.scales,
+                                   frames.pred_boxes, frames.voxels,
+                                   trk_params)
+        # Host side: trajectory assembly (tiny).
+        tracker = Tracker(tcfg)
+        e = len(template.src_frame)
+        tracker.assemble(template, np.asarray(probs)[:e],
+                         np.asarray(obj_ids), np.asarray(frames.valid),
+                         np.asarray(frames.translations),
+                         np.zeros((T, D), np.int32))
+        return frames
+
+    log("compiling pose+track ...")
+    t0 = time.time()
+    jax.block_until_ready(run_sequence(0).valid)
+    log(f"  pipeline compile+run: {time.time() - t0:.1f}s")
+
+    # ---------------- measure ---------------------------------------------
+    t0 = time.time()
+    for s in range(num_seqs):
+        jax.block_until_ready(run_sequence(s + 1).valid)
+    dt = time.time() - t0
+    frames_per_sec = num_seqs * T / dt
+    log(f"measured: {num_seqs} sequences x {T} frames in {dt:.2f}s "
+        f"-> {frames_per_sec:.2f} frames/s")
+
+    # ---------------- baseline --------------------------------------------
+    per_obj = measure_reference_pose_baseline()
+    if per_obj is not None:
+        # Reference per-frame lower bound: D pose fits (same padded count).
+        ref_fps = 1.0 / (per_obj * 4)  # ~4 visible objects per frame
+        log(f"reference numpy pose: {per_obj * 1e3:.1f} ms/object -> "
+            f"baseline >= {ref_fps:.2f} frames/s (pose only)")
+        vs_baseline = frames_per_sec / ref_fps
+    else:
+        vs_baseline = frames_per_sec / 10.0  # documented assumption
+
+    name = ("MOTFront e2e detect+pose+track frames/sec/chip"
+            if not skip_detector else
+            "MOTFront pose+track frames/sec/chip")
+    print(json.dumps({
+        "metric": name,
+        "value": round(frames_per_sec, 3),
+        "unit": "frames/sec",
+        "vs_baseline": round(vs_baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

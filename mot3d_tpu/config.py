@@ -60,6 +60,9 @@ class PoseConfig:
     clean_depth_min_points: int = 20
     # Fixed-size point buffer per object (padding cap; TPU static shapes).
     max_points: int = 1024
+    # Rotation solver: "quat" (Horn quaternion via power iteration; fast on
+    # TPU) or "svd" (jnp.linalg.svd).
+    solver: str = "quat"
     # Whether pose gradients flow back to the NOCS head.  The reference
     # detaches (`Detection/tracker/postprocess.py:151`); our solver is
     # differentiable, so this is a flag (default False = reference parity).
@@ -79,6 +82,7 @@ class DetectionConfig:
     pixel_std: Tuple[float, float, float] = (1.0, 1.0, 1.0)
     # Backbone.
     backbone_depth: int = 50
+    backbone_width: float = 1.0
     fpn_channels: int = 256
     # RPN.
     rpn_pre_nms_topk_train: int = 2000
@@ -101,6 +105,11 @@ class DetectionConfig:
     detections_per_image: int = 16           # static max detections kept per image
     box_pooler_resolution: int = 7
     mask_pooler_resolution: int = 14
+    # Head widths (scaled down only for tiny test configs).
+    mask_head_width: int = 256
+    box_head_width: int = 1024
+    head_width_mult: float = 1.0
+    fg_head_buffer: int = 128            # ROIs fed to voxel/NOCS heads
     # Voxel head (cfg_setup.py:77-88).
     voxel_on: bool = True
     voxel_loss_weight: float = 0.75

@@ -38,16 +38,68 @@ class SimilarityTransform(NamedTuple):
     valid: jax.Array        # () bool — solver succeeded
 
 
+def _kabsch_rotation_quat(cov: jax.Array, iters: int = 30) -> jax.Array:
+    """Optimal source->target rotation R* from a 3x3 covariance, via Horn's
+    quaternion method with fixed-iteration power iteration.
+
+    TPU-native alternative to jnp.linalg.svd: builds the symmetric 4x4
+    matrix K(cov) whose largest-eigenvalue eigenvector is the optimal unit
+    quaternion, then runs `iters` power-iteration steps (pure batched
+    matmuls, MXU-friendly, differentiable, deterministic) after a trace
+    shift that makes the top eigenvalue dominant.  Handles the reflection
+    case by construction (always returns a proper rotation — the behaviour
+    the reference's sign-flip targets).
+    """
+    # Horn's N is built from M = sum s t^T; our covariance is sum t s^T.
+    s = cov.T
+    tr = s[0, 0] + s[1, 1] + s[2, 2]
+    k = jnp.array([
+        [tr, s[1, 2] - s[2, 1], s[2, 0] - s[0, 2], s[0, 1] - s[1, 0]],
+        [s[1, 2] - s[2, 1], s[0, 0] - s[1, 1] - s[2, 2],
+         s[0, 1] + s[1, 0], s[2, 0] + s[0, 2]],
+        [s[2, 0] - s[0, 2], s[0, 1] + s[1, 0],
+         s[1, 1] - s[0, 0] - s[2, 2], s[1, 2] + s[2, 1]],
+        [s[0, 1] - s[1, 0], s[2, 0] + s[0, 2], s[1, 2] + s[2, 1],
+         s[2, 2] - s[0, 0] - s[1, 1]],
+    ])
+    # Shift so the most-positive eigenvalue dominates in magnitude:
+    # eigenvalues of K lie within +-2*||cov||_F * sqrt(3)-ish; Frobenius
+    # bound is cheap and safe.
+    shift = 2.0 * jnp.sqrt((s * s).sum()) + 1e-12
+    km = k + shift * jnp.eye(4)
+
+    # Accelerated power iteration by repeated squaring-ish: q <- normalise(Km^2 q).
+    q = jnp.full((4,), 0.5, cov.dtype)
+
+    def body(_, q):
+        q = km @ (km @ q)
+        return q / jnp.maximum(jnp.linalg.norm(q), 1e-20)
+
+    q = jax.lax.fori_loop(0, iters, body, q)
+    w, x, y, z = q[0], q[1], q[2], q[3]
+    # Quaternion -> rotation matrix (source->target).
+    r = jnp.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+        [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+        [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+    ])
+    return r
+
+
 @high_precision
 def umeyama_similarity(source: jax.Array, target: jax.Array,
-                       weights: jax.Array) -> SimilarityTransform:
+                       weights: jax.Array,
+                       method: str = "quat") -> SimilarityTransform:
     """Weighted Umeyama similarity fit source -> target.
 
     source, target: (N, 3); weights: (N,) nonnegative (0 = padded/invalid).
     Semantics match `PoseEst/pose_utils.py:16-61` for 0/1 weights: biased
-    (1/N) covariance and variance, reflection handling by negating the last
-    singular value/column, scale = sum(D')/var(source), fallback scale 1 when
-    var or sum(D) is zero.
+    (1/N) covariance and variance, reflection handled as a proper rotation,
+    scale = sum(D')/var(source), fallback scale 1 when var or sum(D) is zero.
+
+    method: "quat" (default; Horn's quaternion solver via power iteration —
+    batched matmuls, fast on TPU where small SVDs are slow) or "svd"
+    (jnp.linalg.svd, bit-closer to the reference's LAPACK path).
     """
     w = weights.astype(source.dtype)
     n = jnp.maximum(w.sum(), 1e-12)
@@ -59,15 +111,21 @@ def umeyama_similarity(source: jax.Array, target: jax.Array,
     ct = (target - mu_t) * w[:, None]
     cov = (ct.T @ (source - mu_s)) / n
 
-    u, d, vt = jnp.linalg.svd(cov, full_matrices=True)
-    neg = (jnp.linalg.det(u) * jnp.linalg.det(vt)) < 0.0
-    sign = jnp.where(neg, jnp.array([1.0, 1.0, -1.0], cov.dtype), jnp.ones(3, cov.dtype))
-    d = d * sign
-    u = u * sign[None, :]
+    if method == "svd":
+        u, d, vt = jnp.linalg.svd(cov, full_matrices=True)
+        neg = (jnp.linalg.det(u) * jnp.linalg.det(vt)) < 0.0
+        sign = jnp.where(neg, jnp.array([1.0, 1.0, -1.0], cov.dtype),
+                         jnp.ones(3, cov.dtype))
+        d = d * sign
+        u = u * sign[None, :]
+        r_star = u @ vt              # actual source->target rotation
+        trace = d.sum()
+    else:
+        r_star = _kabsch_rotation_quat(cov)
+        trace = (r_star * cov).sum()  # = trace(R*^T cov) = sum of D'
 
-    rotation = (u @ vt).T  # reference convention
+    rotation = r_star.T  # reference convention stores the transpose
     var_s = ((source - mu_s) ** 2 * w[:, None]).sum() / n
-    trace = d.sum()
     degenerate = (var_s * trace) == 0.0
     scale = jnp.where(degenerate, 1.0, trace / jnp.maximum(var_s, 1e-20))
     # Translation = mu_t - mu_s . (s R)  == mu_t - s R^T mu_s
@@ -107,7 +165,8 @@ def _model_residuals(t: SimilarityTransform, source: jax.Array,
 def ransac_umeyama(source: jax.Array, target: jax.Array, valid: jax.Array,
                    key: jax.Array, iters: int = 100, sample_size: int = 10,
                    pass_threshold: jax.Array | float = 200.0,
-                   stop_threshold: jax.Array | float = 1.0):
+                   stop_threshold: jax.Array | float = 1.0,
+                   method: str = "quat"):
     """Vectorised RANSAC (all hypotheses in one batch).
 
     Returns (inlier_mask (N,), best_inlier_ratio ()).
@@ -131,7 +190,7 @@ def ransac_umeyama(source: jax.Array, target: jax.Array, valid: jax.Array,
 
     def fit(idx):
         w = jnp.ones((sample_size,), source.dtype)
-        return umeyama_similarity(source[idx], target[idx], w)
+        return umeyama_similarity(source[idx], target[idx], w, method)
 
     models = jax.vmap(fit)(draw)  # batched SimilarityTransform
 
@@ -164,7 +223,8 @@ def estimate_similarity_transform(source: jax.Array, target: jax.Array,
                                   iters: int = 100, sample_size: int = 10,
                                   ratio_adapt: float = 1.0,
                                   min_inlier_ratio: float = 0.1,
-                                  stop_divisor: float = 100.0
+                                  stop_divisor: float = 100.0,
+                                  method: str = "quat"
                                   ) -> SimilarityTransform:
     """Full solver: auto thresholds -> RANSAC -> final Umeyama on inliers.
 
@@ -181,11 +241,12 @@ def estimate_similarity_transform(source: jax.Array, target: jax.Array,
     stop_t = pass_t / stop_divisor
 
     inliers, ratio = ransac_umeyama(source, target, valid, key, iters,
-                                    sample_size, pass_t, stop_t)
+                                    sample_size, pass_t, stop_t, method)
     # Note: the reference computes ratio over the raw buffer length; with
     # padded buffers we renormalise to valid points for the failure test.
     ratio_valid = inliers.sum() / n_valid
 
-    fit = umeyama_similarity(source, target, inliers.astype(source.dtype))
+    fit = umeyama_similarity(source, target, inliers.astype(source.dtype),
+                             method)
     ok = jnp.logical_and(ratio_valid >= min_inlier_ratio, valid.sum() >= sample_size)
     return SimilarityTransform(fit.scale, fit.rotation, fit.translation, ok)

@@ -1,0 +1,398 @@
+"""Mask R-CNN R50-FPN with NOCS + voxel ROI heads — the detection model.
+
+Re-design of the reference's detectron2 GeneralizedRCNN + VoxelNocsHeads
+(`Detection/roi_heads/roi_heads.py:25-224`, configured at
+`Detection/cfg_setup.py`) as a static-shaped flax model:
+
+  - every stage is padded to config maxima (proposals, sampled ROIs,
+    detections) with validity masks — no dynamic instance counts anywhere;
+  - ROIAlign is one flattened-pyramid gather (ops/roi_align.py), NMS is the
+    suppression-matrix scan (ops/nms.py);
+  - mask targets use the channels-trick: all GT masks of an image are pooled
+    at once as channels of a single ROIAlign, then the matched one is
+    selected — no per-instance Python loop;
+  - the voxel/NOCS heads run on a fixed-size buffer of the top positive ROIs
+    (the reference computes them on all foreground proposals,
+    `roi_heads.py:154-167`).
+
+Train entry: `MaskRCNN.train_losses`; inference: `MaskRCNN.predict`
+(+ `predict_given_boxes` mirroring forward_with_given_boxes_voxnocs,
+`roi_heads.py:116-135`).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from mot3d_tpu.config import DetectionConfig
+from mot3d_tpu.geometry.iou3d import box2d_iou_matrix
+from mot3d_tpu.models.nocs_head import (NocsBinDecoder, NocsDecoder,
+                                        nocs_bin_loss, nocs_bins_to_values,
+                                        nocs_loss)
+from mot3d_tpu.models.resnet_fpn import ResNetFPN
+from mot3d_tpu.models.rpn import (RPNHead, decode_deltas, encode_deltas,
+                                  generate_anchors, label_anchors,
+                                  level_slices, rpn_losses, select_proposals,
+                                  smooth_l1, subsample_labels)
+from mot3d_tpu.models.voxel_head import Pix2VoxDecoder, voxel_loss
+from mot3d_tpu.ops.nms import batched_nms_mask, top_k_by_score
+from mot3d_tpu.ops.roi_align import multilevel_roi_align, roi_align
+
+STRIDES = (4, 8, 16, 32)          # P2..P5 (ROI pooling levels)
+RPN_STRIDES = (4, 8, 16, 32, 64)  # + P6 for proposals
+
+
+class GroundTruth(NamedTuple):
+    """Padded per-image ground truth (leading batch dim B)."""
+
+    boxes: jax.Array       # (B, M, 4) XYXY
+    classes: jax.Array     # (B, M) int32
+    valid: jax.Array       # (B, M) bool
+    masks: jax.Array       # (B, M, H, W) {0,1}
+    voxels: jax.Array      # (B, M, 32, 32, 32)
+    nocs: jax.Array        # (B, M, P, P, 3) normalised GT NOCS crops
+
+
+class Detections(NamedTuple):
+    """Padded inference output (B, D, ...)."""
+
+    boxes: jax.Array       # (B, D, 4)
+    scores: jax.Array      # (B, D)
+    classes: jax.Array     # (B, D)
+    valid: jax.Array       # (B, D)
+    masks: jax.Array       # (B, D, 28, 28) sigmoid probs
+    voxels: jax.Array      # (B, D, 32, 32, 32) sigmoid probs
+    nocs: jax.Array        # (B, D, 28, 28, 3) values in [0, 1]
+
+
+class BoxHead(nn.Module):
+    num_classes: int
+    width: int = 1024
+
+    @nn.compact
+    def __call__(self, pooled):  # (N, 7, 7, 256)
+        x = pooled.reshape(pooled.shape[0], -1)
+        x = jax.nn.relu(nn.Dense(self.width)(x))
+        x = jax.nn.relu(nn.Dense(self.width)(x))
+        cls_logits = nn.Dense(self.num_classes + 1, name="cls")(x)
+        deltas = nn.Dense(self.num_classes * 4, name="box")(x)
+        return cls_logits, deltas.reshape(-1, self.num_classes, 4)
+
+
+class MaskHead(nn.Module):
+    num_classes: int
+    width: int = 256
+
+    @nn.compact
+    def __call__(self, pooled):  # (N, 14, 14, C)
+        x = pooled
+        for i in range(4):
+            x = jax.nn.relu(nn.Conv(self.width, (3, 3), padding=1)(x))
+        x = jax.nn.relu(
+            nn.ConvTranspose(self.width, (2, 2), strides=(2, 2))(x))  # 28x28
+        return nn.Conv(self.num_classes, (1, 1))(x)  # (N, 28, 28, C) logits
+
+
+class MaskRCNN(nn.Module):
+    cfg: DetectionConfig
+
+    def setup(self):
+        c = self.cfg
+        self.backbone = ResNetFPN(c.backbone_depth, c.fpn_channels,
+                                  c.backbone_width)
+        self.rpn_head = RPNHead(len(c.anchor_ratios))
+        self.box_head = BoxHead(c.num_classes, c.box_head_width)
+        self.mask_head = MaskHead(c.num_classes, c.mask_head_width)
+        if c.voxel_on:
+            self.voxel_head = Pix2VoxDecoder(c.head_width_mult)
+        if c.nocs_on:
+            self.nocs_head = (NocsBinDecoder(c.nocs_num_bins)
+                              if c.nocs_use_bin_loss else NocsDecoder())
+
+    # ------------------------------------------------------------ helpers
+
+    def _normalise(self, images):
+        mean = jnp.asarray(self.cfg.pixel_mean)
+        std = jnp.asarray(self.cfg.pixel_std)
+        return (images - mean) / std
+
+    def _anchors(self):
+        c = self.cfg
+        return jnp.asarray(generate_anchors(
+            c.pad_height, c.pad_width, tuple(c.anchor_sizes),
+            tuple(c.anchor_ratios), RPN_STRIDES))
+
+    def _slices(self):
+        c = self.cfg
+        return level_slices(c.pad_height, c.pad_width, len(c.anchor_ratios),
+                            RPN_STRIDES)
+
+    def _pool(self, feats_b, boxes, size):
+        """feats_b: list of per-level (h, w, C) for ONE image."""
+        return multilevel_roi_align(feats_b, boxes, size, STRIDES)
+
+    # ----------------------------------------------------------- training
+
+    def train_losses(self, images, gt: GroundTruth, rng):
+        """Full training forward -> dict of losses (+ metrics)."""
+        c = self.cfg
+        b = images.shape[0]
+        feats = self.backbone(self._normalise(images))  # P2..P6
+        objness, deltas = self.rpn_head(feats)
+        anchors = self._anchors()
+        slices = self._slices()
+
+        rngs = jax.random.split(rng, 2 * b)
+
+        # --- RPN losses + proposals, per image ---
+        rpn_obj_l, rpn_box_l = 0.0, 0.0
+        prop_boxes, prop_valid = [], []
+        for i in range(b):
+            tgt = label_anchors(anchors, gt.boxes[i], gt.valid[i],
+                                c.rpn_pos_iou, c.rpn_neg_iou)
+            ol, bl = rpn_losses(objness[i], deltas[i], anchors, tgt,
+                                rngs[i], c.rpn_batch_per_image,
+                                c.rpn_positive_fraction)
+            rpn_obj_l += ol / b
+            rpn_box_l += bl / b
+            pb, ps, pv = select_proposals(
+                anchors, jax.lax.stop_gradient(objness[i]),
+                jax.lax.stop_gradient(deltas[i]), slices,
+                (c.pad_height, c.pad_width), c.rpn_pre_nms_topk_train,
+                c.rpn_post_nms_topk_train, c.rpn_nms_thresh)
+            prop_boxes.append(pb)
+            prop_valid.append(pv)
+
+        # --- ROI sampling + heads, per image; heads batched over images ---
+        all_pooled7, all_pooled14 = [], []
+        samples = []
+        for i in range(b):
+            s = sample_rois(prop_boxes[i], prop_valid[i], gt.boxes[i],
+                            gt.classes[i], gt.valid[i], rngs[b + i], c)
+            samples.append(s)
+            feats_i = [f[i] for f in feats[:4]]
+            all_pooled7.append(self._pool(feats_i, s.boxes,
+                                          c.box_pooler_resolution))
+            all_pooled14.append(self._pool(feats_i, s.boxes,
+                                           c.mask_pooler_resolution))
+        pooled7 = jnp.concatenate(all_pooled7)
+        pooled14 = jnp.concatenate(all_pooled14)
+        boxes_all = jnp.concatenate([s.boxes for s in samples])
+        valid_all = jnp.concatenate([s.valid for s in samples])
+        is_pos_all = jnp.concatenate([s.is_pos for s in samples])
+        cls_all = jnp.concatenate([s.gt_class for s in samples])
+        matched_all = jnp.concatenate([s.matched_gt for s in samples])
+        matched_boxes = jnp.concatenate(
+            [gt.boxes[i][samples[i].matched_gt] for i in range(b)])
+
+        cls_logits, box_deltas = self.box_head(pooled7)
+
+        # Classification: bg class = num_classes.
+        labels = jnp.where(is_pos_all, cls_all, c.num_classes)
+        logp = jax.nn.log_softmax(cls_logits)
+        ce = -jnp.take_along_axis(logp, labels[:, None], 1)[:, 0]
+        n_valid = jnp.maximum(valid_all.sum(), 1.0)
+        cls_loss = (ce * valid_all).sum() / n_valid
+
+        # Class-specific box regression on positives.
+        sel_deltas = jnp.take_along_axis(
+            box_deltas, jnp.clip(cls_all, 0, c.num_classes - 1)[:, None, None]
+            .repeat(4, -1), 1)[:, 0]
+        gt_d = encode_deltas(boxes_all, matched_boxes)
+        box_l = smooth_l1(sel_deltas - gt_d).sum(-1)
+        box_loss = (box_l * is_pos_all).sum() / n_valid
+
+        # Mask loss (channels trick for targets).
+        mask_logits = self.mask_head(pooled14)
+        sel_mask = jnp.take_along_axis(
+            mask_logits, jnp.clip(cls_all, 0, c.num_classes - 1)
+            [:, None, None, None], -1)[..., 0]  # (N, 28, 28)
+        mask_targets = []
+        for i in range(b):
+            m = gt.masks[i].astype(jnp.float32).transpose(1, 2, 0)  # (H, W, M)
+            pooled_m = roi_align(m, samples[i].boxes, 28)            # (P, 28, 28, M)
+            tgt = jnp.take_along_axis(
+                pooled_m, samples[i].matched_gt[:, None, None, None], -1)[..., 0]
+            mask_targets.append(tgt)
+        mask_tgt = (jnp.concatenate(mask_targets) >= 0.5).astype(jnp.float32)
+        mask_bce = (mask_tgt * jax.nn.softplus(-sel_mask)
+                    + (1 - mask_tgt) * jax.nn.softplus(sel_mask)).mean((1, 2))
+        n_pos = jnp.maximum(is_pos_all.sum(), 1.0)
+        mask_loss = (mask_bce * is_pos_all).sum() / n_pos
+
+        losses = {
+            "loss_rpn_cls": rpn_obj_l,
+            "loss_rpn_loc": rpn_box_l,
+            "loss_cls": cls_loss,
+            "loss_box_reg": box_loss,
+            "loss_mask": mask_loss,
+        }
+
+        # --- voxel + NOCS heads on a fixed buffer of top positives ---
+        if c.voxel_on or c.nocs_on:
+            k_fg = min(c.fg_head_buffer, boxes_all.shape[0])
+            # rank positives first (stable)
+            fg_rank = jnp.argsort(is_pos_all <= 0)[:k_fg]
+            fg_pooled = pooled14[fg_rank]
+            fg_w = is_pos_all[fg_rank].astype(jnp.float32)
+            fg_cls = cls_all[fg_rank]
+            fg_boxes = boxes_all[fg_rank]
+            fg_gt_boxes = matched_boxes[fg_rank]
+            img_of = jnp.concatenate([
+                jnp.full((samples[i].boxes.shape[0],), i, jnp.int32)
+                for i in range(b)])[fg_rank]
+            fg_matched = matched_all[fg_rank]
+
+            if c.voxel_on:
+                vox_logits = self.voxel_head(fg_pooled)
+                fg_gt_vox = gt.voxels[img_of, fg_matched]
+                vl, viou = voxel_loss(vox_logits, fg_gt_vox, fg_w,
+                                      c.voxel_loss_weight)
+                losses["loss_voxel"] = vl
+                losses["voxel_iou"] = viou
+            if c.nocs_on:
+                fg_gt_nocs = gt.nocs[img_of, fg_matched]
+                # symmetric classes: 'table' (id 1 in MOTFRONT_CLASSES)
+                sym = jnp.asarray([1], jnp.int32)
+                if c.nocs_use_bin_loss:
+                    nocs_logits = self.nocs_head(fg_pooled)
+                    losses["loss_nocs"] = nocs_bin_loss(
+                        nocs_logits, fg_gt_nocs, fg_boxes, fg_gt_boxes,
+                        fg_cls, fg_w, sym, c.nocs_num_bins,
+                        c.nocs_loss_weight)
+                else:
+                    nocs_pred = self.nocs_head(fg_pooled)
+                    losses["loss_nocs"] = nocs_loss(
+                        nocs_pred, fg_gt_nocs, fg_boxes, fg_gt_boxes,
+                        fg_cls, fg_w, sym, c.nocs_loss_weight)
+        return losses
+
+    # ---------------------------------------------------------- inference
+
+    def predict(self, images) -> Detections:
+        c = self.cfg
+        b = images.shape[0]
+        feats = self.backbone(self._normalise(images))
+        objness, deltas = self.rpn_head(feats)
+        anchors = self._anchors()
+        slices = self._slices()
+
+        out = []
+        for i in range(b):
+            pb, ps, pv = select_proposals(
+                anchors, objness[i], deltas[i], slices,
+                (c.pad_height, c.pad_width), c.rpn_pre_nms_topk_test,
+                c.rpn_post_nms_topk_test, c.rpn_nms_thresh)
+            feats_i = [f[i] for f in feats[:4]]
+            pooled7 = self._pool(feats_i, pb, c.box_pooler_resolution)
+            cls_logits, box_deltas = self.box_head(pooled7)
+            probs = jax.nn.softmax(cls_logits)[:, :c.num_classes]  # (P, C)
+            boxes_c = decode_deltas(pb[:, None, :], box_deltas)    # (P, C, 4)
+            boxes_c = jnp.clip(
+                boxes_c,
+                jnp.zeros(4),
+                jnp.asarray([c.pad_width, c.pad_height,
+                             c.pad_width, c.pad_height], jnp.float32))
+            p, cc = probs.shape
+            flat_boxes = boxes_c.reshape(p * cc, 4)
+            flat_scores = probs.reshape(p * cc)
+            flat_cls = jnp.tile(jnp.arange(cc, dtype=jnp.int32), p)
+            flat_valid = jnp.logical_and(
+                jnp.repeat(pv, cc), flat_scores > c.score_thresh_test)
+            keep = batched_nms_mask(flat_boxes, flat_scores, flat_cls,
+                                    flat_valid, c.nms_thresh_test)
+            idx, ok = top_k_by_score(jnp.where(keep, flat_scores, -jnp.inf),
+                                     keep, c.detections_per_image)
+            det_boxes = flat_boxes[idx]
+            det_scores = jnp.where(ok, flat_scores[idx], 0.0)
+            det_cls = flat_cls[idx]
+
+            masks, voxels, nocs = self._dense_heads(feats_i, det_boxes,
+                                                    det_cls)
+            out.append(Detections(det_boxes, det_scores, det_cls, ok,
+                                  masks, voxels, nocs))
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *out)
+
+    def _dense_heads(self, feats_i, boxes, classes):
+        c = self.cfg
+        pooled14 = self._pool(feats_i, boxes, c.mask_pooler_resolution)
+        mask_logits = self.mask_head(pooled14)
+        masks = jax.nn.sigmoid(jnp.take_along_axis(
+            mask_logits, jnp.clip(classes, 0, c.num_classes - 1)
+            [:, None, None, None], -1)[..., 0])
+        if c.voxel_on:
+            voxels = jax.nn.sigmoid(self.voxel_head(pooled14))
+        else:
+            voxels = jnp.zeros(boxes.shape[:1] + (32, 32, 32))
+        if c.nocs_on:
+            if c.nocs_use_bin_loss:
+                nocs = nocs_bins_to_values(self.nocs_head(pooled14),
+                                           c.nocs_num_bins)
+            else:
+                nocs = self.nocs_head(pooled14)
+        else:
+            nocs = jnp.zeros(boxes.shape[:1] + (28, 28, 3))
+        return masks, voxels, nocs
+
+    def predict_given_boxes(self, images, boxes, classes):
+        """Voxel/NOCS/mask heads on externally supplied boxes
+        (forward_with_given_boxes_voxnocs, `roi_heads.py:116-135`).
+
+        boxes: (B, D, 4); classes: (B, D).
+        """
+        feats = self.backbone(self._normalise(images))
+        outs = []
+        for i in range(images.shape[0]):
+            feats_i = [f[i] for f in feats[:4]]
+            outs.append(self._dense_heads(feats_i, boxes[i], classes[i]))
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *outs)
+
+
+class SampledRois(NamedTuple):
+    boxes: jax.Array      # (R, 4)
+    valid: jax.Array      # (R,)
+    is_pos: jax.Array     # (R,) float {0,1}
+    gt_class: jax.Array   # (R,) matched class (0-based)
+    matched_gt: jax.Array  # (R,) index into gt slots
+
+
+def sample_rois(prop_boxes, prop_valid, gt_boxes, gt_classes, gt_valid, rng,
+                cfg: DetectionConfig) -> SampledRois:
+    """Proposal-GT matching + fixed-count sampling for one image.
+
+    detectron2 semantics with IOU_THRESHOLDS [0.75] / POSITIVE_FRACTION 0.2
+    (`cfg_setup.py:63-66`): GT boxes are appended to the proposals, positives
+    have max-IoU >= 0.75, everything else is background.
+    """
+    m = gt_boxes.shape[0]
+    boxes = jnp.concatenate([prop_boxes, gt_boxes])
+    valid = jnp.concatenate([prop_valid, gt_valid])
+    iou = box2d_iou_matrix(boxes, gt_boxes)
+    iou = jnp.where(gt_valid[None, :], iou, -1.0)
+    matched = jnp.argmax(iou, 1)
+    max_iou = jnp.max(iou, 1)
+    labels = jnp.where(max_iou >= cfg.roi_iou_threshold, 1, 0)
+    labels = jnp.where(valid, labels, -1)
+
+    pos_sel, neg_sel = subsample_labels(labels, rng,
+                                        cfg.roi_batch_per_image,
+                                        cfg.roi_positive_fraction)
+    sel = jnp.logical_or(pos_sel, neg_sel)
+    # Compact selected rois into a fixed (roi_batch_per_image,) buffer,
+    # positives first.
+    score = jnp.where(pos_sel, 2.0, jnp.where(neg_sel, 1.0, 0.0))
+    score = score + jax.random.uniform(rng, score.shape) * 1e-3
+    num_rois = min(cfg.roi_batch_per_image, boxes.shape[0])
+    idx, ok = top_k_by_score(score, sel, num_rois)
+    return SampledRois(
+        boxes=boxes[idx],
+        valid=jnp.logical_and(ok, sel[idx]),
+        is_pos=pos_sel[idx].astype(jnp.float32),
+        gt_class=jnp.clip(gt_classes[matched[idx]], 0, None),
+        matched_gt=matched[idx],
+    )

@@ -1,0 +1,93 @@
+"""ResNet-50 + FPN backbone in flax (NHWC, TPU-native).
+
+Replaces detectron2's GeneralizedRCNN backbone configured by
+`Detection/cfg_setup.py:21` (mask_rcnn_R_50_FPN_3x).  Plain convolutions XLA
+fuses onto the MXU; normalisation is GroupNorm (detectron2 uses FrozenBN
+tied to ImageNet pretraining — training from scratch on TPU, GroupNorm is
+the stable, batch-independent choice; documented deviation).
+
+Outputs P2..P6 (strides 4..64), 256 channels each, finest first.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class Bottleneck(nn.Module):
+    channels: int           # bottleneck width; output = 4x
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        out_ch = self.channels * 4
+        shortcut = x
+        if self.stride != 1 or x.shape[-1] != out_ch:
+            shortcut = nn.Conv(out_ch, (1, 1), strides=self.stride,
+                               use_bias=False, name="proj")(x)
+            shortcut = nn.GroupNorm(32, name="proj_gn")(shortcut)
+        y = nn.Conv(self.channels, (1, 1), use_bias=False)(x)
+        y = jax.nn.relu(nn.GroupNorm(32)(y))
+        y = nn.Conv(self.channels, (3, 3), strides=self.stride,
+                    padding=1, use_bias=False)(y)
+        y = jax.nn.relu(nn.GroupNorm(32)(y))
+        y = nn.Conv(out_ch, (1, 1), use_bias=False)(y)
+        y = nn.GroupNorm(32)(y)
+        return jax.nn.relu(y + shortcut)
+
+
+class ResNet(nn.Module):
+    depth: int = 50
+    width_mult: float = 1.0   # channel multiplier (tiny test configs)
+
+    @nn.compact
+    def __call__(self, x):
+        blocks = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}[self.depth]
+        def w(c):
+            return max(32, int(c * self.width_mult))
+        x = nn.Conv(w(64), (7, 7), strides=2, padding=3, use_bias=False,
+                    name="stem")(x)
+        x = jax.nn.relu(nn.GroupNorm(32, name="stem_gn")(x))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        feats = []
+        for stage, (n_blocks, ch) in enumerate(zip(blocks, (64, 128, 256, 512))):
+            for b in range(n_blocks):
+                stride = 2 if (b == 0 and stage > 0) else 1
+                x = Bottleneck(w(ch), stride, name=f"res{stage + 2}_{b}")(x)
+            feats.append(x)
+        return feats  # C2 (stride 4) .. C5 (stride 32)
+
+
+class FPN(nn.Module):
+    out_channels: int = 256
+
+    @nn.compact
+    def __call__(self, c_feats: Sequence[jax.Array]):
+        laterals = [nn.Conv(self.out_channels, (1, 1), name=f"lat{i + 2}")(c)
+                    for i, c in enumerate(c_feats)]
+        # Top-down pathway.
+        outs = [laterals[-1]]
+        for lat in laterals[-2::-1]:
+            up = jax.image.resize(outs[0], lat.shape, "nearest")
+            outs.insert(0, lat + up)
+        ps = [nn.Conv(self.out_channels, (3, 3), padding=1,
+                      name=f"post{i + 2}")(o) for i, o in enumerate(outs)]
+        # P6 for RPN: stride-2 maxpool of P5.
+        p6 = nn.max_pool(ps[-1], (1, 1), strides=(2, 2))
+        return ps + [p6]  # P2..P6
+
+
+class ResNetFPN(nn.Module):
+    depth: int = 50
+    out_channels: int = 256
+    width_mult: float = 1.0
+
+    @nn.compact
+    def __call__(self, images):
+        """images: (B, H, W, 3) normalised.  Returns [P2..P6] (B, h, w, 256)."""
+        c_feats = ResNet(self.depth, self.width_mult, name="resnet")(images)
+        return FPN(self.out_channels, name="fpn")(c_feats)

