@@ -1,0 +1,173 @@
+"""Write synthetic scenes in the exact MOTFront on-disk format.
+
+Produces the directory tree the reference consumes
+(`Detection/register_dataset.py:30-152`, `Detection/data/mapper_heads.py`):
+
+    <root>/3D_front_mapping.csv
+    <root>/<split>/<scene>/coco_data/coco_annotations.json
+    <root>/<split>/<scene>/coco_data/rgb_XXXX.png      (8-bit)
+    <root>/<split>/<scene>/coco_data/nocs_XXXX.png     (16-bit)
+    <root>/<split>/<scene>/<idx>.hdf5                  (depth, campose)
+    <voxel_root>/<jid>/model.binvox
+
+so loader/golden tests exercise the real parsing path (SURVEY.md §4), and
+either pipeline half can interoperate with reference-produced data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import h5py
+import numpy as np
+
+from mot3d_tpu.config import MOTFRONT_CLASSES, CameraConfig
+from mot3d_tpu.data.binvox import write_binvox
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+
+def _project(pts_cam, cam: CameraConfig):
+    x, y, z = pts_cam[:, 0], -pts_cam[:, 1], -pts_cam[:, 2]
+    u = x / z * cam.fx + cam.cx
+    v = y / z * cam.fy + cam.cy
+    return u, v, z
+
+
+def write_motfront_fixture(root: str, split: str = "train", num_scenes: int = 1,
+                           num_frames: int = 3, num_objects: int = 2,
+                           seed: int = 0, voxel_root: str | None = None,
+                           cam: CameraConfig = CameraConfig()):
+    """Create tiny MOTFront-format scenes with boxes/cuboids moving in world
+    space; returns the list of scene names."""
+    rng = np.random.default_rng(seed)
+    voxel_root = voxel_root or os.path.join(root, "voxels")
+    os.makedirs(root, exist_ok=True)
+
+    with open(os.path.join(root, "3D_front_mapping.csv"), "w") as f:
+        f.write("id,name\n")
+        for i, name in enumerate(MOTFRONT_CLASSES):
+            f.write(f"{i + 1},{name}\n")
+
+    H, W = cam.height, cam.width
+    scenes = []
+    for s in range(num_scenes):
+        scene = f"scene_{seed}_{s:04d}"
+        scenes.append(scene)
+        base = os.path.join(root, split, scene)
+        coco_dir = os.path.join(base, "coco_data")
+        os.makedirs(coco_dir, exist_ok=True)
+
+        # Objects: NOCS cubes with fixed world pose + per-frame camera motion.
+        objs = []
+        for k in range(num_objects):
+            jid = f"jid_{seed}_{s}_{k}"
+            grid = np.zeros((32, 32, 32), bool)
+            grid[6:26, 6:26, 6:26] = True
+            os.makedirs(os.path.join(voxel_root, jid), exist_ok=True)
+            write_binvox(os.path.join(voxel_root, jid, "model.binvox"), grid)
+            objs.append({
+                "jid": jid,
+                "cat": int(rng.integers(1, len(MOTFRONT_CLASSES) + 1)),
+                "obj_id": 100 + k,
+                "scale": float(rng.uniform(0.8, 1.3)),
+                "yaw": float(rng.uniform(-np.pi, np.pi)),
+                "loc": np.array([rng.uniform(-1, 1), rng.uniform(-1, 1),
+                                 0.0]),
+                "half": rng.uniform(0.25, 0.45, 3),
+            })
+
+        images, annos = [], []
+        ann_id = 0
+        for t in range(num_frames):
+            # Camera: world z-up; camera looks along -Z in cam space.  Use a
+            # simple pose: camera at (0.2 t, -3.5, 1.2) looking +Y(world).
+            campose = np.eye(4, dtype=np.float64)
+            campose[:3, :3] = np.array([[1, 0, 0], [0, 0, -1], [0, 1, 0]],
+                                       np.float64)
+            campose[:3, 3] = [0.2 * t, -3.5, 1.2]
+            world2cam = np.linalg.inv(campose)
+
+            depth = np.zeros((H, W), np.float32)
+            zbuf = np.full((H, W), np.inf, np.float32)
+            nocs16 = np.zeros((H, W, 3), np.uint16)
+            rgb = np.full((H, W, 3), 60, np.uint8)
+            frame_annos = []
+
+            for ob in objs:
+                n = 60000
+                pts = rng.uniform(0.02, 0.98, size=(n, 3))
+                face = rng.integers(0, 6, n)
+                pts[np.arange(n), face % 3] = np.where(face < 3, 0.02, 0.98)
+                nocs_pts = pts - 0.5
+                cy, sy = np.cos(ob["yaw"]), np.sin(ob["yaw"])
+                R = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]])
+                world = (ob["scale"] * nocs_pts * ob["half"] * 2) @ R.T + ob["loc"]
+                pc = world @ world2cam[:3, :3].T + world2cam[:3, 3]
+                u, v, z = _project(pc, cam)
+                ui = np.round(u).astype(int)
+                vi = np.round(v).astype(int)
+                ok = (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H) & (z > 0)
+                order = np.argsort(-z[ok])
+                uu, vv, zz = ui[ok][order], vi[ok][order], z[ok][order]
+                nn = (nocs_pts[ok] + 0.5)[order]
+                closer = zz < zbuf[vv, uu]
+                uu, vv, zz, nn = uu[closer], vv[closer], zz[closer], nn[closer]
+                zbuf[vv, uu] = zz
+                depth[vv, uu] = zz
+                nocs16[vv, uu] = (nn * 65535).astype(np.uint16)
+                rgb[vv, uu] = (50 + ob["cat"] * 25) % 255
+
+                if ok.sum() < 20:
+                    continue
+                x0, y0 = ui[ok].min(), vi[ok].min()
+                x1, y1 = ui[ok].max() + 1, vi[ok].max() + 1
+                seg = [[float(x0), float(y0), float(x1), float(y0),
+                        float(x1), float(y1), float(x0), float(y1)]]
+                corners_local = np.array(
+                    [[sx, sy_, sz] for sx in (-1, 1) for sy_ in (-1, 1)
+                     for sz in (-1, 1)], np.float64) * (ob["scale"] * ob["half"])
+                corners = corners_local @ R.T + ob["loc"]
+                frame_annos.append({
+                    "id": ob["obj_id"], "image_id": t,
+                    "category_id": ob["cat"], "jid": ob["jid"],
+                    "bbox": [float(x0), float(y0), float(x1 - x0),
+                             float(y1 - y0)],
+                    "segmentation": seg,
+                    "3Dscale": [ob["scale"]] * 3,
+                    "3Drot": [0.0, 0.0, ob["yaw"]],
+                    "3Dloc": [float(c) for c in ob["loc"]],
+                    "3Dbbox": corners.tolist(),
+                    "area": float((x1 - x0) * (y1 - y0)),
+                    "iscrowd": 0,
+                })
+
+            fname = f"rgb_{t:04d}.png"
+            cv2.imwrite(os.path.join(coco_dir, fname), rgb[:, :, ::-1])
+            cv2.imwrite(os.path.join(coco_dir, f"nocs_{t:04d}.png"),
+                        nocs16[:, :, ::-1])
+            with h5py.File(os.path.join(base, f"{t}.hdf5"), "w") as hf:
+                hf.create_dataset("depth", data=depth)
+                hf.create_dataset("campose", data=campose)
+            images.append({"id": t, "file_name": fname, "height": H,
+                           "width": W})
+            for a in frame_annos:
+                a = dict(a)
+                a["id_anno"] = ann_id
+                ann_id += 1
+                annos.append(a)
+
+        coco = {
+            "images": images,
+            "annotations": annos,
+            "categories": [
+                {"id": i + 1, "name": n, "supercategory": "furniture"}
+                for i, n in enumerate(MOTFRONT_CLASSES)],
+        }
+        with open(os.path.join(coco_dir, "coco_annotations.json"), "w") as f:
+            json.dump(coco, f)
+    return scenes

@@ -23,6 +23,8 @@ DCFG = DetectionConfig(
     rpn_pre_nms_topk_test=100, rpn_post_nms_topk_test=32,
     roi_batch_per_image=32, detections_per_image=8, max_instances=4,
     anchor_sizes=(16, 32, 64, 128, 256),
+    backbone_width=0.25, fpn_channels=64, mask_head_width=32,
+    box_head_width=128, head_width_mult=0.125, fg_head_buffer=8,
 )
 
 
