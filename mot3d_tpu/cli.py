@@ -1,0 +1,183 @@
+"""Command-line entry points, mirroring the reference's five scripts:
+
+    python -m mot3d_tpu.cli train-detection   # Detection/train_net.py
+    python -m mot3d_tpu.cli train-combined    # Detection/train_combined.py
+    python -m mot3d_tpu.cli export-detections # Detection/inference_detector.py
+    python -m mot3d_tpu.cli train-tracking    # Tracking/train.py
+    python -m mot3d_tpu.cli infer-tracking    # Tracking/inference.py
+
+Config overrides use `section.field=value` (config.apply_overrides), e.g.
+    ... train-tracking --data out/h5/train --val-data out/h5/val \
+        tracking.learning_rate=5e-4 run.seed=1
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import List
+
+from mot3d_tpu.config import Config, apply_overrides, default_config
+from mot3d_tpu.runtime import enable_compilation_cache
+
+
+def _parse(argv: List[str]):
+    p = argparse.ArgumentParser(prog="mot3d_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    common = dict(add_help=True)
+    td = sub.add_parser("train-detection", **common)
+    td.add_argument("--data", required=True, help="MOTFront root dir")
+    td.add_argument("--voxels", default=None)
+    td.add_argument("--out", default="out/detection")
+    td.add_argument("--max-iter", type=int, default=None)
+
+    tc = sub.add_parser("train-combined", **common)
+    tc.add_argument("--data", required=True)
+    tc.add_argument("--voxels", default=None)
+    tc.add_argument("--out", default="out/combined")
+    tc.add_argument("--max-iter", type=int, default=None)
+    tc.add_argument("--eval-only", action="store_true")
+
+    ex = sub.add_parser("export-detections", **common)
+    ex.add_argument("--data", required=True)
+    ex.add_argument("--voxels", default=None)
+    ex.add_argument("--split", default="test")
+    ex.add_argument("--out", required=True, help="h5 output dir")
+    ex.add_argument("--ckpt", default=None, help="detection ckpt dir")
+    ex.add_argument("--max-scenes", type=int, default=None)
+    ex.add_argument("--oracle", action="store_true",
+                    help="use GT as detections (pose/track quality bound)")
+
+    tt = sub.add_parser("train-tracking", **common)
+    tt.add_argument("--data", required=True, help="dir of scene h5 folders")
+    tt.add_argument("--val-data", required=True)
+    tt.add_argument("--out", default="out/tracking")
+    tt.add_argument("--epochs", type=int, default=None)
+
+    it = sub.add_parser("infer-tracking", **common)
+    it.add_argument("--data", required=True)
+    it.add_argument("--ckpt", required=True)
+    it.add_argument("--out", default="out/tracking_eval")
+
+    args, overrides = p.parse_known_args(argv)
+    return args, [o for o in overrides if "=" in o]
+
+
+def _load_h5_sequences(path: str, cfg: Config):
+    from mot3d_tpu.data.h5_io import read_frame_h5, pad_sequence
+    seqs = []
+    for scene in sorted(os.listdir(path)):
+        sdir = os.path.join(path, scene)
+        if not os.path.isdir(sdir):
+            continue
+        files = sorted((f for f in os.listdir(sdir) if f.endswith(".h5")),
+                       key=lambda f: int(f.split(".")[0]))
+        frames = [read_frame_h5(os.path.join(sdir, f)) for f in files]
+        padded = pad_sequence(frames, cfg.tracking.max_instances_per_frame,
+                              cfg.tracking.max_instances_per_frame)
+        padded["gt_classes"] = padded["gt_classes"]
+        seqs.append(padded)
+    return seqs
+
+
+def main(argv=None):
+    args, overrides = _parse(argv if argv is not None else sys.argv[1:])
+    enable_compilation_cache()
+    cfg = apply_overrides(default_config(), overrides)
+
+    if args.cmd == "train-tracking":
+        from mot3d_tpu.train.tracking_trainer import TrackingTrainer
+        trainer = TrackingTrainer(cfg, output_dir=args.out)
+        train = _load_h5_sequences(args.data, cfg)
+        val = _load_h5_sequences(args.val_data, cfg)
+        result = trainer.train(train, val, num_epochs=args.epochs)
+        print(result)
+
+    elif args.cmd == "infer-tracking":
+        from mot3d_tpu.train.tracking_trainer import TrackingTrainer
+        trainer = TrackingTrainer(cfg, output_dir=args.out)
+        trainer.ckpt = __import__(
+            "mot3d_tpu.train.checkpoints", fromlist=["CheckpointManager"]
+        ).CheckpointManager(args.ckpt)
+        trainer.init_state(None)
+        restored = trainer.ckpt.restore(trainer.state)
+        if restored is not None:
+            trainer.state = restored
+        seqs = _load_h5_sequences(args.data, cfg)
+        trainer.inference(seqs, classwise=True)
+
+    elif args.cmd == "train-detection":
+        from mot3d_tpu.data.detection_loader import iterate_detection_batches
+        from mot3d_tpu.data.motfront import MOTFrontDataset
+        from mot3d_tpu.train.detection_trainer import DetectionTrainer
+        ds = MOTFrontDataset(args.data, "train", voxel_dir=args.voxels)
+        val_ds = MOTFrontDataset(args.data, "val", voxel_dir=args.voxels)
+        trainer = DetectionTrainer(cfg, output_dir=args.out)
+        batches = iterate_detection_batches(
+            ds, cfg.detection, cfg.combined.batch_size, epochs=10_000)
+        val_iter = list(iterate_detection_batches(
+            val_ds, cfg.detection, cfg.combined.batch_size, shuffle=False))
+        print(trainer.train(batches, val_iter, max_iter=args.max_iter))
+
+    elif args.cmd == "train-combined":
+        from mot3d_tpu.data.detection_loader import load_frame
+        from mot3d_tpu.data.motfront import MOTFrontDataset
+        from mot3d_tpu.train.combined_trainer import CombinedTrainer
+        ds = MOTFrontDataset(args.data, "train", voxel_dir=args.voxels)
+        test_ds = MOTFrontDataset(args.data, "test", voxel_dir=args.voxels)
+        trainer = CombinedTrainer(cfg, output_dir=args.out)
+
+        def windows():
+            t = cfg.combined.batch_size
+            while True:
+                for scene in ds.scenes():
+                    frames = ds.load_scene(scene).frames
+                    for i in range(0, len(frames) - t + 1, t):
+                        yield [load_frame(ds, fr, cfg.detection)
+                               for fr in frames[i:i + t]]
+
+        test_seqs = [[load_frame(test_ds, fr, cfg.detection)
+                      for fr in test_ds.load_scene(s).frames]
+                     for s in test_ds.scenes()[:8]]
+        if args.eval_only:
+            win = next(windows())
+            trainer.init_state(
+                __import__("mot3d_tpu.train.combined_trainer",
+                           fromlist=["samples_to_combined_window"]
+                           ).samples_to_combined_window(win))
+            print(trainer.do_test(test_seqs))
+        else:
+            print(trainer.train(windows(), max_iter=args.max_iter,
+                                test_seqs=test_seqs))
+
+    elif args.cmd == "export-detections":
+        import jax
+        from mot3d_tpu.data.motfront import MOTFrontDataset
+        from mot3d_tpu.export import DetectorExporter
+        from mot3d_tpu.models.mask_rcnn import MaskRCNN
+        ds = MOTFrontDataset(args.data, args.split, voxel_dir=args.voxels)
+        model = MaskRCNN(cfg.detection)
+        import jax.numpy as jnp
+        import numpy as np
+        dummy = jnp.zeros((1, cfg.detection.pad_height,
+                           cfg.detection.pad_width, 3))
+        params = jax.jit(lambda k: model.init(
+            k, dummy, method=MaskRCNN.predict))(jax.random.PRNGKey(0))
+        if args.ckpt:
+            from mot3d_tpu.train.checkpoints import CheckpointManager
+            from mot3d_tpu.train.detection_trainer import DetectionTrainState
+            mgr = CheckpointManager(args.ckpt)
+            template = DetectionTrainState(params, None, jnp.zeros((), jnp.int32))
+            restored = mgr.restore_best("val_loss", template) \
+                if "val_loss" in mgr.best else mgr.restore(template)
+            if restored is not None:
+                params = restored.params
+        exporter = DetectorExporter(cfg, model, params)
+        print(exporter.export_split(ds, args.out, max_scenes=args.max_scenes,
+                                    oracle=args.oracle))
+
+
+if __name__ == "__main__":
+    main()

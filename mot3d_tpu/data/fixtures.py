@@ -70,15 +70,20 @@ def write_motfront_fixture(root: str, split: str = "train", num_scenes: int = 1,
             grid[6:26, 6:26, 6:26] = True
             os.makedirs(os.path.join(voxel_root, jid), exist_ok=True)
             write_binvox(os.path.join(voxel_root, jid, "model.binvox"), grid)
+            scale = float(rng.uniform(0.8, 1.3))
+            half = rng.uniform(0.25, 0.45, 3)
+            # Objects sit on the floor (z = 0): MOTFront's add_halfheight
+            # (register_dataset.py:363-377) sets the GT location z to half
+            # the box height, which equals the z-centre only then.
             objs.append({
                 "jid": jid,
                 "cat": int(rng.integers(1, len(MOTFRONT_CLASSES) + 1)),
                 "obj_id": 100 + k,
-                "scale": float(rng.uniform(0.8, 1.3)),
+                "scale": scale,
                 "yaw": float(rng.uniform(-np.pi, np.pi)),
                 "loc": np.array([rng.uniform(-1, 1), rng.uniform(-1, 1),
-                                 0.0]),
-                "half": rng.uniform(0.25, 0.45, 3),
+                                 half[2] * scale]),
+                "half": half,
             })
 
         images, annos = [], []

@@ -1,0 +1,177 @@
+"""Detector inference + per-frame .h5 export (the detect->track handoff).
+
+Mirrors `Detection/inference_detector.py:63-535`: for every scene/frame, run
+the detector, crop the GT 3D boxes to the depth-visible extent, fit poses
+for gated detections, log per-class voxel IoU and rotation/location errors,
+and write the per-frame `N.h5` files (reference schema, data/h5_io.py) that
+the standalone tracking trainer consumes.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mot3d_tpu.config import MOTFRONT_CLASSES, Config
+from mot3d_tpu.data.detection_loader import DetectionSample, load_frame
+from mot3d_tpu.data.h5_io import FrameDetections, write_frame_h5
+from mot3d_tpu.data.motfront import MOTFrontDataset
+from mot3d_tpu.geometry.backproject import make_intrinsics
+from mot3d_tpu.geometry.iou3d import voxel_iou
+from mot3d_tpu.geometry.metrics import location_error, rotation_error_deg
+from mot3d_tpu.geometry.transforms import euler_to_rotmat
+from mot3d_tpu.models.mask_rcnn import MaskRCNN
+from mot3d_tpu.pose.pipeline import crop_gt_box3d, postprocess_frame
+
+
+class DetectorExporter:
+    def __init__(self, cfg: Config, det_model: MaskRCNN, det_params):
+        self.cfg = cfg
+        self.model = det_model
+        self.params = det_params
+        cam = cfg.camera
+        self.intrinsics = make_intrinsics(cam.fx, cam.fy, cam.cx, cam.cy)
+        self._predict = jax.jit(lambda p, im: self.model.apply(
+            p, im, method=MaskRCNN.predict))
+        self._pose = jax.jit(
+            lambda bx, sc, cl, va, ma, vo, no, g2, gv, de, cp, g3, k:
+            postprocess_frame(bx, sc, cl, va, ma, vo, no, g2, gv, de, cp,
+                              self.intrinsics, g3, k, self.cfg))
+        self._crop = jax.jit(jax.vmap(
+            lambda de, cp, b3, b2, m: crop_gt_box3d(
+                de, cp, self.intrinsics, b3, b2, m),
+            in_axes=(None, None, 0, 0, 0)))
+
+    # ------------------------------------------------------------------
+    def export_frame(self, sample: DetectionSample, out_path: Optional[str],
+                     rng, oracle: bool = False) -> Dict[str, list]:
+        """Run detector + pose on one frame; optionally write the .h5.
+
+        oracle=True substitutes ground truth for the network outputs
+        (GT boxes/classes/masks/NOCS patches/voxels) — an upper-bound run
+        that exercises pose + export + tracking quality without a trained
+        detector.  Returns per-class metric lists
+        {"voxel_iou", "rot_err", "loc_err"}.
+        """
+        if oracle:
+            dets = self._oracle_detections(sample)
+        else:
+            images = jnp.asarray(sample.image)[None]
+            dets = self._predict(self.params, images)
+
+        # GT 3D boxes cropped to visible extent (`inference_detector.py:86-119`).
+        gt_masks = jnp.asarray(sample.masks[:, :self.cfg.camera.height,
+                                            :self.cfg.camera.width])
+        cropped = self._crop(jnp.asarray(sample.depth),
+                             jnp.asarray(sample.campose),
+                             jnp.asarray(sample.boxes3d),
+                             jnp.asarray(sample.boxes), gt_masks)
+
+        frame = self._pose(dets.boxes[0], dets.scores[0], dets.classes[0],
+                           dets.valid[0], dets.masks[0], dets.voxels[0],
+                           dets.nocs[0], jnp.asarray(sample.boxes),
+                           jnp.asarray(sample.valid),
+                           jnp.asarray(sample.depth),
+                           jnp.asarray(sample.campose), cropped, rng)
+
+        keep = np.asarray(frame.valid)
+        n = int(keep.sum())
+        g = int(sample.valid.sum())
+        order = np.nonzero(keep)[0]
+
+        metrics: Dict[str, list] = {"voxel_iou": [], "rot_err": [],
+                                    "loc_err": [], "classes": []}
+        if n and g:
+            # Match each kept detection to its best-2D-IoU GT for metrics
+            # (`inference_detector.py:266-298`).
+            from mot3d_tpu.geometry.iou3d import box2d_iou_matrix
+            iou2 = np.asarray(box2d_iou_matrix(
+                jnp.asarray(dets.boxes[0]), jnp.asarray(sample.boxes)))
+            for i in order:
+                gi = int(np.argmax(iou2[i][:g]))
+                metrics["classes"].append(int(np.asarray(dets.classes[0])[i]))
+                metrics["voxel_iou"].append(float(voxel_iou(
+                    jnp.asarray(dets.voxels[0][i]),
+                    jnp.asarray(sample.voxels[gi]))))
+                pred_rot = euler_to_rotmat(jnp.asarray(frame.rotations[i]))
+                gt_rot = euler_to_rotmat(jnp.asarray(sample.rotations[gi]))
+                metrics["rot_err"].append(float(rotation_error_deg(
+                    pred_rot, gt_rot)))
+                metrics["loc_err"].append(float(location_error(
+                    jnp.asarray(frame.translations[i]),
+                    jnp.asarray(sample.locations[gi]))))
+
+        if out_path is not None:
+            write_frame_h5(out_path, FrameDetections(
+                classes=np.asarray(frame.classes)[order].astype(np.int32),
+                objectness_scores=np.asarray(frame.objectness)[order],
+                voxels=np.asarray(frame.voxels)[order],
+                rotations=np.asarray(frame.rotations)[order],
+                translations=np.asarray(frame.translations)[order],
+                scales=np.asarray(frame.scales)[order],
+                pred_boxes=np.asarray(frame.pred_boxes)[order],
+                gt_ids=sample.object_ids[:g],
+                gt_boxes=np.asarray(cropped)[:g],
+                gt_voxels=sample.voxels[:g],
+                gt_rotations=sample.rotations[:g],
+                gt_locations=sample.locations[:g],
+                gt_scales=sample.scales3d[:g],
+                gt_compl_boxes=sample.boxes3d[:g],
+                gt_classes=sample.classes[:g],
+            ))
+        return metrics
+
+    def _oracle_detections(self, sample: DetectionSample):
+        """GT-as-detections (padded to max_instances slots)."""
+        from mot3d_tpu.models.mask_rcnn import Detections
+        from mot3d_tpu.ops.roi_align import roi_align
+        m = sample.boxes.shape[0]
+        masks28 = roi_align(
+            jnp.asarray(sample.masks).transpose(1, 2, 0).astype(jnp.float32),
+            jnp.asarray(sample.boxes), 28)
+        masks28 = jnp.stack([masks28[i, :, :, i] for i in range(m)])
+        return Detections(
+            boxes=jnp.asarray(sample.boxes)[None],
+            scores=jnp.asarray(sample.valid, jnp.float32)[None],
+            classes=jnp.asarray(sample.classes)[None],
+            valid=jnp.asarray(sample.valid)[None],
+            masks=masks28[None],
+            voxels=jnp.asarray(sample.voxels)[None],
+            nocs=jnp.asarray(sample.nocs)[None])
+
+    # ------------------------------------------------------------------
+    def export_split(self, ds: MOTFrontDataset, out_dir: str,
+                     write_files: bool = True,
+                     max_scenes: Optional[int] = None,
+                     oracle: bool = False) -> Dict[str, float]:
+        """`make_pred` (`inference_detector.py:396-492`): walk a split, export
+        every frame, report per-class mean metrics."""
+        rng = jax.random.PRNGKey(0)
+        agg: Dict[str, Dict[str, list]] = {}
+        scenes = ds.scenes()[:max_scenes]
+        for scene in scenes:
+            rec = ds.load_scene(scene)
+            for t, fr in enumerate(rec.frames):
+                sample = load_frame(ds, fr, self.cfg.detection)
+                rng, sub = jax.random.split(rng)
+                path = (os.path.join(out_dir, scene, f"{t}.h5")
+                        if write_files else None)
+                m = self.export_frame(sample, path, sub, oracle=oracle)
+                for cls, vi, re_, le in zip(m["classes"], m["voxel_iou"],
+                                            m["rot_err"], m["loc_err"]):
+                    name = MOTFRONT_CLASSES[cls % len(MOTFRONT_CLASSES)]
+                    a = agg.setdefault(name, {"voxel_iou": [], "rot_err": [],
+                                              "loc_err": []})
+                    a["voxel_iou"].append(vi)
+                    a["rot_err"].append(re_)
+                    a["loc_err"].append(le)
+        out: Dict[str, float] = {}
+        for name, a in agg.items():
+            out[f"{name}/voxel_iou"] = float(np.mean(a["voxel_iou"]))
+            out[f"{name}/rot_err_median"] = float(np.median(a["rot_err"]))
+            out[f"{name}/loc_err_median"] = float(np.median(a["loc_err"]))
+        return out
