@@ -101,6 +101,9 @@ class DetectionConfig:
     roi_positive_fraction: float = 0.20
     roi_iou_threshold: float = 0.75          # IOU_THRESHOLDS [0.75]
     score_thresh_test: float = 0.05          # combined setting (cfg_setup.py:122)
+    # Fast (YOLACT-style, loop-free) NMS on TPU; set False for exact
+    # detectron2-equivalent suppression (sequential scan).
+    fast_nms: bool = True
     nms_thresh_test: float = 0.4             # combined setting (cfg_setup.py:123)
     detections_per_image: int = 16           # static max detections kept per image
     box_pooler_resolution: int = 7

@@ -164,7 +164,8 @@ class MaskRCNN(nn.Module):
                 anchors, jax.lax.stop_gradient(objness[i]),
                 jax.lax.stop_gradient(deltas[i]), slices,
                 (c.pad_height, c.pad_width), c.rpn_pre_nms_topk_train,
-                c.rpn_post_nms_topk_train, c.rpn_nms_thresh)
+                c.rpn_post_nms_topk_train, c.rpn_nms_thresh,
+                not c.fast_nms)
             prop_boxes.append(pb)
             prop_valid.append(pv)
 
@@ -287,7 +288,8 @@ class MaskRCNN(nn.Module):
             pb, ps, pv = select_proposals(
                 anchors, objness[i], deltas[i], slices,
                 (c.pad_height, c.pad_width), c.rpn_pre_nms_topk_test,
-                c.rpn_post_nms_topk_test, c.rpn_nms_thresh)
+                c.rpn_post_nms_topk_test, c.rpn_nms_thresh,
+                not c.fast_nms)
             feats_i = [f[i] for f in feats[:4]]
             pooled7 = self._pool(feats_i, pb, c.box_pooler_resolution)
             cls_logits, box_deltas = self.box_head(pooled7)
@@ -305,7 +307,8 @@ class MaskRCNN(nn.Module):
             flat_valid = jnp.logical_and(
                 jnp.repeat(pv, cc), flat_scores > c.score_thresh_test)
             keep = batched_nms_mask(flat_boxes, flat_scores, flat_cls,
-                                    flat_valid, c.nms_thresh_test)
+                                    flat_valid, c.nms_thresh_test,
+                                    not c.fast_nms)
             idx, ok = top_k_by_score(jnp.where(keep, flat_scores, -jnp.inf),
                                      keep, c.detections_per_image)
             det_boxes = flat_boxes[idx]

@@ -205,7 +205,8 @@ def rpn_losses(objectness: jax.Array, deltas: jax.Array, anchors: jax.Array,
 
 def select_proposals(anchors: jax.Array, objectness: jax.Array,
                      deltas: jax.Array, slices, image_hw, pre_nms_topk: int,
-                     post_nms_topk: int, nms_thresh: float):
+                     post_nms_topk: int, nms_thresh: float,
+                     exact_nms: bool = True):
     """Per-image proposal selection: per-level top-k -> decode -> clip ->
     level-aware NMS -> global top-k.  All sizes static.
 
@@ -229,7 +230,8 @@ def select_proposals(anchors: jax.Array, objectness: jax.Array,
     wh_ok = jnp.logical_and(boxes[:, 2] > boxes[:, 0] + 1e-3,
                             boxes[:, 3] > boxes[:, 1] + 1e-3)
     valid = jnp.logical_and(valid, wh_ok)
-    keep = batched_nms_mask(boxes, scores, lvls, valid, nms_thresh)
+    keep = batched_nms_mask(boxes, scores, lvls, valid, nms_thresh,
+                            exact_nms)
     k = min(post_nms_topk, boxes.shape[0])
     idx, ok = top_k_by_score(jnp.where(keep, scores, -jnp.inf), keep, k)
     return boxes[idx], scores[idx], ok

@@ -19,11 +19,15 @@ from mot3d_tpu.geometry.iou3d import box2d_iou_matrix
 
 
 def nms_mask(boxes: jax.Array, scores: jax.Array, valid: jax.Array,
-             iou_threshold: float) -> jax.Array:
+             iou_threshold: float, exact: bool = True) -> jax.Array:
     """Returns a keep-mask (K,) for XYXY boxes (K, 4); invalid boxes dropped.
 
-    Equivalent (same kept set) to torchvision/detectron2 NMS on the valid
-    subset; deterministic tie-breaks by input order after score sort.
+    exact=True: equivalent (same kept set) to torchvision/detectron2 NMS on
+    the valid subset — a sequential scan over the suppression matrix.
+    exact=False: "fast NMS" (YOLACT): drop any box overlapped above the
+    threshold by ANY higher-scoring box, kept or not — one matrix reduction,
+    no sequential loop (TPU-friendly); slightly over-suppresses versus exact
+    NMS (a suppressed box can no longer "protect" boxes it overlaps).
     """
     k = boxes.shape[0]
     order = jnp.argsort(jnp.where(valid, -scores, jnp.inf))
@@ -33,26 +37,31 @@ def nms_mask(boxes: jax.Array, scores: jax.Array, valid: jax.Array,
     # overlap[i, j]: candidate j is suppressed by kept i (i ranked higher).
     tri = jnp.tril(jnp.ones((k, k), bool), -1).T  # upper triangle, i < j
     suppress = jnp.logical_and(iou > iou_threshold, tri)
+    suppress = jnp.logical_and(suppress, svalid[:, None])
 
-    def body(i, keep):
-        # j suppressed if any kept i<j suppresses it.
-        row = jnp.logical_and(suppress[:, i], keep)
-        keep_i = jnp.logical_and(svalid[i], ~row.any())
-        return keep.at[i].set(keep_i)
+    if exact:
+        def body(i, keep):
+            # j suppressed if any kept i<j suppresses it.
+            row = jnp.logical_and(suppress[:, i], keep)
+            keep_i = jnp.logical_and(svalid[i], ~row.any())
+            return keep.at[i].set(keep_i)
 
-    keep_sorted = jax.lax.fori_loop(0, k, body, jnp.zeros(k, bool))
+        keep_sorted = jax.lax.fori_loop(0, k, body, jnp.zeros(k, bool))
+    else:
+        keep_sorted = jnp.logical_and(svalid, ~suppress.any(0))
     keep = jnp.zeros(k, bool).at[order].set(keep_sorted)
     return keep
 
 
 def batched_nms_mask(boxes: jax.Array, scores: jax.Array, idxs: jax.Array,
-                     valid: jax.Array, iou_threshold: float) -> jax.Array:
+                     valid: jax.Array, iou_threshold: float,
+                     exact: bool = True) -> jax.Array:
     """Category-aware NMS: boxes of different `idxs` never suppress each
     other (the detectron2 batched_nms coordinate-offset trick)."""
     max_coord = jnp.max(jnp.where(valid[:, None], boxes, 0.0)) + 1.0
     offsets = idxs.astype(boxes.dtype) * max_coord
     shifted = boxes + offsets[:, None]
-    return nms_mask(shifted, scores, valid, iou_threshold)
+    return nms_mask(shifted, scores, valid, iou_threshold, exact)
 
 
 def top_k_by_score(scores: jax.Array, valid: jax.Array, k: int):
