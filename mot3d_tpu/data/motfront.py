@@ -217,3 +217,29 @@ class MOTFrontDataset:
         path = os.path.join(self.voxel_dir, jid, "model.binvox")
         grid = read_binvox(path).data.astype(np.int64)
         return rescale_voxel(grid, np.asarray(scale))
+
+    def dataset_info(self) -> dict:
+        """Split statistics: scene/image/annotation counts, class histogram,
+        scenes with missing files (`Utility/analyse_datset.py:6-45`,
+        get_dataset_info — reporting instead of rmtree'ing bad folders)."""
+        info = {"num_scenes": 0, "num_images": 0, "num_annotations": 0,
+                "class_counts": {}, "bad_scenes": []}
+        for scene in self.scenes():
+            try:
+                rec = self.load_scene(scene)
+            except (OSError, KeyError, ValueError) as e:
+                info["bad_scenes"].append((scene, str(e)))
+                continue
+            info["num_scenes"] += 1
+            info["num_images"] += len(rec.frames)
+            for fr in rec.frames:
+                info["num_annotations"] += len(fr.annotations)
+                for a in fr.annotations:
+                    name = (self.name_list[a.category]
+                            if a.category < len(self.name_list)
+                            else str(a.category))
+                    info["class_counts"][name] = (
+                        info["class_counts"].get(name, 0) + 1)
+                if not os.path.exists(fr.hdf5_path):
+                    info["bad_scenes"].append((scene, "missing hdf5"))
+        return info

@@ -1,0 +1,99 @@
+"""Sequence visualisation exports (file-based; no GUI dependencies).
+
+Replaces the reference's dvis-based 4D replay (`Tracking/visualise/
+visualise.py:13-726`) with portable artefacts: PLY point clouds for scene
+backgrounds and posed object shapes, per-frame trajectory polylines, and a
+cube-per-voxel OBJ mesh (instead of marching cubes, which needed mcubes).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from mot3d_tpu.utils.pointcloud import convert_voxel_to_pc
+
+
+def write_ply(path: str, points: np.ndarray,
+              colors: Optional[np.ndarray] = None) -> None:
+    """ASCII PLY point cloud; colors in [0, 255] uint8 (N, 3)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    n = len(points)
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {n}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        if colors is not None:
+            f.write("property uchar red\nproperty uchar green\n"
+                    "property uchar blue\n")
+        f.write("end_header\n")
+        for i in range(n):
+            row = f"{points[i, 0]:.5f} {points[i, 1]:.5f} {points[i, 2]:.5f}"
+            if colors is not None:
+                c = colors[i].astype(int)
+                row += f" {c[0]} {c[1]} {c[2]}"
+            f.write(row + "\n")
+
+
+def voxel_to_obj(path: str, grid: np.ndarray, rot: np.ndarray,
+                 trans: np.ndarray, scale: float) -> None:
+    """Posed occupancy grid -> OBJ of unit cubes (one per occupied voxel),
+    replacing the reference's vox2mesh marching-cubes export."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    res = grid.shape[0]
+    occ = np.stack(np.nonzero(grid), 1).astype(np.float64)
+    cell = 1.0 / res
+    corners = np.array([[x, y, z] for x in (0, 1) for y in (0, 1)
+                        for z in (0, 1)], np.float64) * cell
+    faces = np.array([
+        [0, 1, 3, 2], [4, 6, 7, 5], [0, 4, 5, 1],
+        [2, 3, 7, 6], [0, 2, 6, 4], [1, 5, 7, 3]])
+    with open(path, "w") as f:
+        base = 1
+        m = (np.eye(3) * scale) @ np.asarray(rot)
+        for v in occ:
+            local = (v[None] * cell + corners) - 0.5
+            world = local @ m.T + np.asarray(trans)
+            for p in world:
+                f.write(f"v {p[0]:.5f} {p[1]:.5f} {p[2]:.5f}\n")
+            for face in faces:
+                idx = face + base
+                f.write(f"f {idx[0]} {idx[1]} {idx[2]} {idx[3]}\n")
+            base += 8
+
+
+_COLORS = np.array([
+    [228, 26, 28], [55, 126, 184], [77, 175, 74], [152, 78, 163],
+    [255, 127, 0], [255, 255, 51], [166, 86, 40], [247, 129, 191],
+], np.uint8)
+
+
+def export_sequence(out_dir: str, trajectories: List[List[dict]],
+                    background_pc: Optional[np.ndarray] = None,
+                    with_shapes: bool = False) -> None:
+    """Write trajectory polyline PLYs (+ posed voxel shapes when detections
+    carry 'voxel'/'euler'/'scale'), mirroring visualise_pred_sequence."""
+    os.makedirs(out_dir, exist_ok=True)
+    if background_pc is not None:
+        pts = background_pc[:, :3]
+        col = (background_pc[:, 3:6].astype(np.uint8)
+               if background_pc.shape[1] >= 6 else None)
+        write_ply(os.path.join(out_dir, "background.ply"), pts, col)
+    for i, traj in enumerate(trajectories):
+        locs = np.stack([np.asarray(d["loc"]) for d in traj])
+        col = np.tile(_COLORS[i % len(_COLORS)], (len(locs), 1))
+        write_ply(os.path.join(out_dir, f"traj_{i:03d}.ply"), locs, col)
+        if with_shapes:
+            for d in traj:
+                if "voxel" not in d or "euler" not in d:
+                    continue
+                from mot3d_tpu.geometry.transforms import euler_to_rotmat
+                import jax.numpy as jnp
+                rot = np.asarray(euler_to_rotmat(jnp.asarray(d["euler"])))
+                voxel_to_obj(
+                    os.path.join(out_dir,
+                                 f"shape_{i:03d}_t{d['scan_idx']:03d}.obj"),
+                    np.asarray(d["voxel"]) >= 0.5, rot,
+                    np.asarray(d["loc"]), float(d.get("scale", 1.0)))

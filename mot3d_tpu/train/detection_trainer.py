@@ -136,3 +136,17 @@ class DetectionTrainer:
             self._predict = jax.jit(lambda p, im: self.model.apply(
                 p, im, method=MaskRCNN.predict))
         return self._predict(self.state.params, jnp.asarray(images))
+
+    def evaluate_ap(self, batches) -> Dict[str, float]:
+        """COCO-protocol bbox AP over a validation split (the reference's
+        inference_on_dataset_coco + save_ap, `EvaluatorUtils.py:358-415`)."""
+        from mot3d_tpu.evaluator.coco_eval import COCOEvaluator
+        ev = COCOEvaluator(self.cfg.detection.num_classes)
+        for batch in batches:
+            dets = self.predict(batch.image)
+            for i in range(batch.image.shape[0]):
+                ev.add_image(
+                    np.asarray(dets.boxes[i]), np.asarray(dets.scores[i]),
+                    np.asarray(dets.classes[i]), np.asarray(dets.valid[i]),
+                    batch.boxes[i], batch.classes[i], batch.valid[i])
+        return ev.summarize()
