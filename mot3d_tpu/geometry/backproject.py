@@ -64,17 +64,18 @@ def gather_masked_values(values: jax.Array, valid: jax.Array, max_points: int):
         rank,
         (rank * max_points) // jnp.maximum(n_valid, 1),
     ).astype(jnp.int32)
-    dump = max_points  # out-of-range slot for invalid elements
-    tgt = jnp.where(flat_valid, jnp.minimum(slot, max_points - 1), dump)
-
-    # First raster index claiming each slot wins (scatter-min).
+    # First element of each slot is selected; compaction via top_k over the
+    # negated raster index (on TPU top_k is far cheaper than a scatter-min
+    # over the full pixel map).
+    prev_slot = jnp.concatenate([jnp.full((1,), -1, jnp.int32), slot[:-1]])
+    first = flat_valid & ((slot != prev_slot) | (rank == 0))
     raster = jnp.arange(n, dtype=jnp.int32)
-    first_idx = jnp.full((max_points + 1,), n, dtype=jnp.int32).at[tgt].min(raster)
-    first_idx = first_idx[:max_points]
-    out_valid = first_idx < n
-    safe_idx = jnp.minimum(first_idx, n - 1)
-    out_vals = jnp.where(out_valid[:, None], flat_vals[safe_idx], 0.0)
-    return out_vals, out_valid, safe_idx
+    sentinel = jnp.iinfo(jnp.int32).min
+    score = jnp.where(first, -raster, sentinel)
+    neg, idx = jax.lax.top_k(score, max_points)  # ascending raster order
+    out_valid = neg != sentinel
+    out_vals = jnp.where(out_valid[:, None], flat_vals[idx], 0.0)
+    return out_vals, out_valid, idx
 
 
 def gather_masked_points(points: jax.Array, valid: jax.Array, max_points: int):

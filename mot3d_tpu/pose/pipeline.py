@@ -126,28 +126,38 @@ def crop_gt_box3d(depth, campose, intrinsics, gt_box3d, gt_box2d, gt_mask,
 @high_precision
 def estimate_object_pose(nocs_patch, depth, campose, intrinsics, mask,
                          box_xyxy, key, cfg: Config,
-                         gt_box3d: Optional[jax.Array] = None) -> PoseResult:
+                         gt_box3d: Optional[jax.Array] = None,
+                         precomputed=None) -> PoseResult:
     """Pose of one detection (vmap over instance slots for a whole frame).
 
     nocs_patch: (28, 28, 3) NOCS prediction for the box; depth (H, W);
     mask (H, W) predicted instance mask; box_xyxy in image coords.
+    precomputed: optional (pts_map, base_valid, world_map) triple shared by
+    all detections of a frame (backprojection and cam->world depend only on
+    depth/intrinsics/campose — hoisting them out of the per-slot vmap saves
+    a factor of max_instances in that compute).
     """
     p = cfg.pose
+    h, w = depth.shape
     interior = _box_interior_mask(depth.shape, box_xyxy)
-    pts_map, valid = backproject_depth(depth * interior, intrinsics, mask)
+    if precomputed is None:
+        pts_map, base_valid = backproject_depth(depth, intrinsics)
+        world_map = cam_to_world(pts_map.reshape(-1, 3),
+                                 campose).reshape(pts_map.shape)
+    else:
+        pts_map, base_valid, world_map = precomputed
+    valid = base_valid & interior & mask.astype(bool)
 
     # NOCS value per pixel: separable bilinear paste of the 28x28 patch over
     # its box (zero outside; border ring differs from edge-clamping by half a
     # patch cell — those pixels are mask-gated anyway).
-    h, w = depth.shape
     nocs_map = paste_patch(nocs_patch, box_xyxy, (h, w))
 
     # Optional GT-box depth cleaning (pose_estimation.py:293-299).
     if gt_box3d is not None:
-        world = cam_to_world(pts_map.reshape(-1, 3), campose).reshape(pts_map.shape)
         gmin = gt_box3d.min(0)
         gmax = gt_box3d.max(0)
-        inside = jnp.all((world > gmin) & (world < gmax), axis=-1)
+        inside = jnp.all((world_map > gmin) & (world_map < gmax), axis=-1)
         cleaned = valid & inside
         use_clean = cleaned.sum() > p.clean_depth_min_points
         valid = jnp.where(use_clean, cleaned, valid)
@@ -248,16 +258,22 @@ def postprocess_frame(det_boxes, det_scores, det_classes, det_valid,
 
     full_masks = jax.vmap(paste_mask)(det_masks, det_boxes)
 
+    # Frame-shared backprojection + cam->world, hoisted out of the vmap.
+    pts_map, base_valid = backproject_depth(depth, intrinsics)
+    world_map = cam_to_world(pts_map.reshape(-1, 3),
+                             campose).reshape(pts_map.shape)
+    shared = (pts_map, base_valid, world_map)
+
     keys = jax.random.split(key, i_slots)
     if use_gt_gate:
         poses = jax.vmap(
             lambda nc, m, b, k, g3: estimate_object_pose(
-                nc, depth, campose, intrinsics, m, b, k, cfg, g3)
+                nc, depth, campose, intrinsics, m, b, k, cfg, g3, shared)
         )(det_nocs, full_masks, det_boxes, keys, matched_gt_box3d)
     else:
         poses = jax.vmap(
             lambda nc, m, b, k: estimate_object_pose(
-                nc, depth, campose, intrinsics, m, b, k, cfg)
+                nc, depth, campose, intrinsics, m, b, k, cfg, None, shared)
         )(det_nocs, full_masks, det_boxes, keys)
 
     valid = jnp.logical_and(keep, poses.valid)
