@@ -178,3 +178,32 @@ class TestSegmentOps:
         ids = jnp.array([1, 1, 1, 0])
         out = np.asarray(segment_sum(data, ids, 2))
         np.testing.assert_allclose(out, [[1, 1], [3, 3]])
+
+
+class TestPallasNMS:
+    def test_matches_exact_nms(self):
+        # Interpreter mode exercises the kernel logic on CPU.
+        from unittest import mock
+        from jax.experimental import pallas as pl
+        from mot3d_tpu.ops.pallas import nms_kernel
+
+        orig = pl.pallas_call
+
+        def interp(*a, **k):
+            k["interpret"] = True
+            return orig(*a, **k)
+
+        rng = np.random.default_rng(3)
+        n = 64
+        xy = rng.uniform(0, 100, size=(n, 2))
+        wh = rng.uniform(5, 40, size=(n, 2))
+        boxes = np.concatenate([xy, xy + wh], 1).astype(np.float32)
+        scores = rng.uniform(size=n).astype(np.float32)
+        valid = np.ones(n, bool)
+        valid[5] = False
+        with mock.patch.object(nms_kernel.pl, "pallas_call", interp):
+            keep_p = np.asarray(nms_kernel.pallas_nms_mask(
+                jnp.array(boxes), jnp.array(scores), jnp.array(valid), 0.5))
+        keep_x = np.asarray(nms_mask(jnp.array(boxes), jnp.array(scores),
+                                     jnp.array(valid), 0.5, exact=True))
+        np.testing.assert_array_equal(keep_p, keep_x)
