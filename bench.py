@@ -183,24 +183,28 @@ def main():
                                    frames.rotations, frames.scales,
                                    frames.pred_boxes, frames.voxels,
                                    trk_params)
-        # Host side: trajectory assembly (tiny).
+        # Return device handles; host assembly happens after all sequences'
+        # device work is in flight (hides dispatch round-trip latency).
+        return frames, probs, obj_ids
+
+    def assemble_sequence(frames, probs, obj_ids):
         tracker = Tracker(tcfg)
         e = len(template.src_frame)
-        tracker.assemble(template, np.asarray(probs)[:e],
-                         np.asarray(obj_ids), np.asarray(frames.valid),
-                         np.asarray(frames.translations),
-                         np.zeros((T, D), np.int32))
-        return frames
+        return tracker.assemble(template, np.asarray(probs)[:e],
+                                np.asarray(obj_ids), np.asarray(frames.valid),
+                                np.asarray(frames.translations),
+                                np.zeros((T, D), np.int32))
 
     log("compiling pose+track ...")
     t0 = time.time()
-    jax.block_until_ready(run_sequence(0).valid)
+    assemble_sequence(*run_sequence(0))
     log(f"  pipeline compile+run: {time.time() - t0:.1f}s")
 
     # ---------------- measure ---------------------------------------------
+    # Launch all device work asynchronously, then drain + host-assemble.
     t0 = time.time()
-    for s in range(num_seqs):
-        jax.block_until_ready(run_sequence(s + 1).valid)
+    pending = [run_sequence(s + 1) for s in range(num_seqs)]
+    results = [assemble_sequence(*p) for p in pending]
     dt = time.time() - t0
     frames_per_sec = num_seqs * T / dt
     log(f"measured: {num_seqs} sequences x {T} frames in {dt:.2f}s "
