@@ -97,10 +97,9 @@ def main(argv=None):
 
     elif args.cmd == "infer-tracking":
         from mot3d_tpu.train.tracking_trainer import TrackingTrainer
+        from mot3d_tpu.train.checkpoints import CheckpointManager
         trainer = TrackingTrainer(cfg, output_dir=args.out)
-        trainer.ckpt = __import__(
-            "mot3d_tpu.train.checkpoints", fromlist=["CheckpointManager"]
-        ).CheckpointManager(args.ckpt)
+        trainer.ckpt = CheckpointManager(args.ckpt)
         trainer.init_state(None)
         restored = trainer.ckpt.restore(trainer.state)
         if restored is not None:
@@ -142,11 +141,9 @@ def main(argv=None):
                       for fr in test_ds.load_scene(s).frames]
                      for s in test_ds.scenes()[:8]]
         if args.eval_only:
-            win = next(windows())
-            trainer.init_state(
-                __import__("mot3d_tpu.train.combined_trainer",
-                           fromlist=["samples_to_combined_window"]
-                           ).samples_to_combined_window(win))
+            from mot3d_tpu.train.combined_trainer import (
+                samples_to_combined_window)
+            trainer.init_state(samples_to_combined_window(next(windows())))
             print(trainer.do_test(test_seqs))
         else:
             print(trainer.train(windows(), max_iter=args.max_iter,
@@ -160,20 +157,24 @@ def main(argv=None):
         ds = MOTFrontDataset(args.data, args.split, voxel_dir=args.voxels)
         model = MaskRCNN(cfg.detection)
         import jax.numpy as jnp
-        import numpy as np
         dummy = jnp.zeros((1, cfg.detection.pad_height,
                            cfg.detection.pad_width, 3))
         params = jax.jit(lambda k: model.init(
             k, dummy, method=MaskRCNN.predict))(jax.random.PRNGKey(0))
         if args.ckpt:
+            import optax
             from mot3d_tpu.train.checkpoints import CheckpointManager
             from mot3d_tpu.train.detection_trainer import DetectionTrainState
             mgr = CheckpointManager(args.ckpt)
-            template = DetectionTrainState(params, None, jnp.zeros((), jnp.int32))
-            restored = mgr.restore_best("val_loss", template) \
-                if "val_loss" in mgr.best else mgr.restore(template)
+            opt = optax.adamw(cfg.combined.detection_lr,
+                              weight_decay=cfg.combined.detection_weight_decay)
+            template = DetectionTrainState(params, opt.init(params),
+                                           jnp.zeros((), jnp.int32))
+            restored = (mgr.restore_best("val_loss", template)
+                        if "val_loss" in mgr.best else mgr.restore(template))
             if restored is not None:
                 params = restored.params
+                print(f"restored checkpoint at step {int(restored.step)}")
         exporter = DetectorExporter(cfg, model, params)
         print(exporter.export_split(ds, args.out, max_scenes=args.max_scenes,
                                     oracle=args.oracle))

@@ -12,11 +12,11 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Iterator, List, NamedTuple, Optional
+from typing import Iterator, List, NamedTuple
 
 import numpy as np
 
-from mot3d_tpu.config import CameraConfig, DetectionConfig
+from mot3d_tpu.config import DetectionConfig
 from mot3d_tpu.data.motfront import (MOTFrontDataset, crop_normalise_nocs,
                                      load_depth_campose, load_nocs_png,
                                      load_rgb_png, polygons_to_mask)

@@ -11,7 +11,7 @@ everything else follows the protocol.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List
 
 import numpy as np
 

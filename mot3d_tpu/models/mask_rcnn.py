@@ -22,7 +22,7 @@ Train entry: `MaskRCNN.train_losses`; inference: `MaskRCNN.predict`
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Sequence
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -9,14 +9,13 @@ padded to config maxima instead of dynamically filtered.
 from __future__ import annotations
 
 import functools
-from typing import List, NamedTuple, Sequence
+from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from mot3d_tpu.config import DetectionConfig
 from mot3d_tpu.geometry.iou3d import box2d_iou_matrix
 from mot3d_tpu.ops.nms import batched_nms_mask, top_k_by_score
 

@@ -17,7 +17,6 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from mot3d_tpu.config import GraphConfig
 from mot3d_tpu.models.mpn import MLP, VoxelEncoder, EdgeClassifier
 
 

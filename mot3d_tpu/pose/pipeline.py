@@ -42,8 +42,7 @@ from mot3d_tpu.geometry.outlier import statistical_outlier_mask
 from mot3d_tpu.geometry.transforms import (_CANONICAL_SIGNS, aabb_corners,
                                            cam_to_world, rotmat_to_euler,
                                            sort_bbox)
-from mot3d_tpu.geometry.umeyama import (apply_similarity,
-                                        estimate_similarity_transform)
+from mot3d_tpu.geometry.umeyama import estimate_similarity_transform
 from mot3d_tpu.ops.precision import high_precision
 
 

@@ -8,7 +8,7 @@ distance threshold and a per-frame duplicate guard.  Used for the office
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

@@ -8,7 +8,7 @@ path), NumPy + SciPy.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import numpy as np
 from scipy.ndimage import gaussian_filter1d

@@ -17,7 +17,7 @@ trajectory/MOTA bookkeeping.
 from __future__ import annotations
 
 import os
-from typing import Dict, Iterator, List, NamedTuple, Optional
+from typing import Dict, Iterator, List, Optional
 
 import jax
 import jax.numpy as jnp

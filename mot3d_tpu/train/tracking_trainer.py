@@ -10,7 +10,6 @@ one is provided.
 from __future__ import annotations
 
 import os
-import time
 from typing import Dict, List, Optional
 
 import jax
