@@ -118,7 +118,7 @@ def main():
     # Chunked vmapped pose: 5 frames per dispatch (the full 25-frame fused
     # program compiles too slowly through this environment's remote-compile
     # tunnel; 5-frame chunks compile in ~11 s and amortise dispatch).
-    CHUNK = 5
+    CHUNK = int(os.environ.get("BENCH_POSE_CHUNK", "25"))
     pose_chunk_jit = jax.jit(jax.vmap(
         lambda bx, sc, cl, va, ma, vo, no, g2, gv, de, cp, g3, k:
         postprocess_frame(bx, sc, cl, va, ma, vo, no, g2, gv, de, cp,
