@@ -115,41 +115,41 @@ def main():
     # Pose: whole sequence vmapped over frames.
     D = dcfg.detections_per_image
 
-    # Chunked vmapped pose: 5 frames per dispatch (the full 25-frame fused
-    # program compiles too slowly through this environment's remote-compile
-    # tunnel; 5-frame chunks compile in ~11 s and amortise dispatch).
+    # Pose chunking (frames per vmapped sub-program; 25 = whole sequence in
+    # one fused pose+track dispatch).
     CHUNK = int(os.environ.get("BENCH_POSE_CHUNK", "25"))
-    pose_chunk_jit = jax.jit(jax.vmap(
-        lambda bx, sc, cl, va, ma, vo, no, g2, gv, de, cp, g3, k:
-        postprocess_frame(bx, sc, cl, va, ma, vo, no, g2, gv, de, cp,
-                          intrinsics, g3, k, cfg),
-        in_axes=(0,) * 12 + (0,)))
 
-    def pose_jit(boxes, scores, classes, valid, masks, voxels, nocs, key):
+    def pose_then_track(trk_params, boxes, scores, classes, valid, masks,
+                        voxels, nocs, key):
+        """Pose (chunked vmap) + graph + MPN for one sequence — fused into
+        as few programs as CHUNK allows (one when CHUNK == T)."""
         keys = jax.random.split(key, T)
         outs = []
         for i in range(0, T, CHUNK):
             s = slice(i, i + CHUNK)
-            outs.append(pose_chunk_jit(
+            outs.append(pose_chunk(
                 boxes[s], scores[s], classes[s], valid[s], masks[s],
                 voxels[s], nocs[s], gt_boxes2d[s], gt_valid2d[s], depth[s],
                 campose[s], gt_boxes3d[s], keys[s]))
-        return jax.tree_util.tree_map(
+        frames = jax.tree_util.tree_map(
             lambda *xs: jnp.concatenate(xs), *outs)
-
-    def track_sequence(frames_valid, trans, rots, scales, boxes3d, voxels,
-                       trk_params):
-        graph = build_graph(template, tcfg, frames_valid, trans, rots,
-                            scales, boxes3d,
+        graph = build_graph(template, tcfg, frames.valid,
+                            frames.translations, frames.rotations,
+                            frames.scales, frames.pred_boxes,
                             jnp.tile(gt_boxes3d, (1, 1, 1, 1)),
                             jnp.zeros((T, M), jnp.int32),
                             jnp.zeros((T, M), bool))
-        vox = voxels.reshape(-1, 32, 32, 32)
+        vox = frames.voxels.reshape(-1, 32, 32, 32)
         logits = trk_model.apply(trk_params, vox, graph.src, graph.dst,
                                  graph.edge_attr, graph.edge_mask)
-        return jax.nn.sigmoid(logits[-1]), graph.obj_ids
+        return frames, jax.nn.sigmoid(logits[-1]), graph.obj_ids
 
-    track_jit = jax.jit(track_sequence)
+    pose_chunk = jax.vmap(
+        lambda bx, sc, cl, va, ma, vo, no, g2, gv, de, cp, g3, k:
+        postprocess_frame(bx, sc, cl, va, ma, vo, no, g2, gv, de, cp,
+                          intrinsics, g3, k, cfg),
+        in_axes=(0,) * 12 + (0,))
+    pose_track_jit = jax.jit(pose_then_track)
 
     e2 = len(template.src_frame) * 2
     n_nodes = T * D
@@ -177,12 +177,9 @@ def main():
             boxes, scores = stackf("boxes"), stackf("scores")
             classes, valid = stackf("classes"), stackf("valid")
             masks, voxels, nocs = stackf("masks"), stackf("voxels"), stackf("nocs")
-        frames = pose_jit(boxes, scores, classes, valid, masks, voxels, nocs,
-                          key)
-        probs, obj_ids = track_jit(frames.valid, frames.translations,
-                                   frames.rotations, frames.scales,
-                                   frames.pred_boxes, frames.voxels,
-                                   trk_params)
+        frames, probs, obj_ids = pose_track_jit(
+            trk_params, boxes, scores, classes, valid, masks, voxels, nocs,
+            key)
         # Return device handles; host assembly happens after all sequences'
         # device work is in flight (hides dispatch round-trip latency).
         return frames, probs, obj_ids
