@@ -80,6 +80,9 @@ class DetectionConfig:
     pad_width: int = 320
     pixel_mean: Tuple[float, float, float] = (59.64, 61.96, 64.02)  # cfg_setup.py:70 (RGB order after BGR->RGB)
     pixel_std: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    # Computation dtype for the detector's conv/dense ops ("float32" or
+    # "bfloat16"); parameters stay float32 (standard mixed precision).
+    compute_dtype: str = "float32"
     # Backbone.
     backbone_depth: int = 50
     backbone_width: float = 1.0

@@ -103,8 +103,10 @@ class MaskRCNN(nn.Module):
 
     def setup(self):
         c = self.cfg
+        import jax.numpy as _jnp
+        bb_dtype = (_jnp.bfloat16 if c.compute_dtype == "bfloat16" else None)
         self.backbone = ResNetFPN(c.backbone_depth, c.fpn_channels,
-                                  c.backbone_width)
+                                  c.backbone_width, bb_dtype)
         self.rpn_head = RPNHead(len(c.anchor_ratios))
         self.box_head = BoxHead(c.num_classes, c.box_head_width)
         self.mask_head = MaskHead(c.num_classes, c.mask_head_width)

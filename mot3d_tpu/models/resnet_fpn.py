@@ -14,12 +14,14 @@ from __future__ import annotations
 from typing import Sequence
 
 import jax
+import jax.numpy as jnp
 from flax import linen as nn
 
 
 class Bottleneck(nn.Module):
     channels: int           # bottleneck width; output = 4x
     stride: int = 1
+    dtype: object = None    # computation dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x):
@@ -27,21 +29,25 @@ class Bottleneck(nn.Module):
         shortcut = x
         if self.stride != 1 or x.shape[-1] != out_ch:
             shortcut = nn.Conv(out_ch, (1, 1), strides=self.stride,
-                               use_bias=False, name="proj")(x)
-            shortcut = nn.GroupNorm(32, name="proj_gn")(shortcut)
-        y = nn.Conv(self.channels, (1, 1), use_bias=False)(x)
-        y = jax.nn.relu(nn.GroupNorm(32)(y))
+                               use_bias=False, dtype=self.dtype,
+                               name="proj")(x)
+            shortcut = nn.GroupNorm(32, dtype=self.dtype,
+                                    name="proj_gn")(shortcut)
+        y = nn.Conv(self.channels, (1, 1), use_bias=False,
+                    dtype=self.dtype)(x)
+        y = jax.nn.relu(nn.GroupNorm(32, dtype=self.dtype)(y))
         y = nn.Conv(self.channels, (3, 3), strides=self.stride,
-                    padding=1, use_bias=False)(y)
-        y = jax.nn.relu(nn.GroupNorm(32)(y))
-        y = nn.Conv(out_ch, (1, 1), use_bias=False)(y)
-        y = nn.GroupNorm(32)(y)
+                    padding=1, use_bias=False, dtype=self.dtype)(y)
+        y = jax.nn.relu(nn.GroupNorm(32, dtype=self.dtype)(y))
+        y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype)(y)
+        y = nn.GroupNorm(32, dtype=self.dtype)(y)
         return jax.nn.relu(y + shortcut)
 
 
 class ResNet(nn.Module):
     depth: int = 50
     width_mult: float = 1.0   # channel multiplier (tiny test configs)
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
@@ -49,24 +55,27 @@ class ResNet(nn.Module):
         def w(c):
             return max(32, int(c * self.width_mult))
         x = nn.Conv(w(64), (7, 7), strides=2, padding=3, use_bias=False,
-                    name="stem")(x)
-        x = jax.nn.relu(nn.GroupNorm(32, name="stem_gn")(x))
+                    dtype=self.dtype, name="stem")(x)
+        x = jax.nn.relu(nn.GroupNorm(32, dtype=self.dtype, name="stem_gn")(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         feats = []
         for stage, (n_blocks, ch) in enumerate(zip(blocks, (64, 128, 256, 512))):
             for b in range(n_blocks):
                 stride = 2 if (b == 0 and stage > 0) else 1
-                x = Bottleneck(w(ch), stride, name=f"res{stage + 2}_{b}")(x)
+                x = Bottleneck(w(ch), stride, dtype=self.dtype,
+                               name=f"res{stage + 2}_{b}")(x)
             feats.append(x)
         return feats  # C2 (stride 4) .. C5 (stride 32)
 
 
 class FPN(nn.Module):
     out_channels: int = 256
+    dtype: object = None
 
     @nn.compact
     def __call__(self, c_feats: Sequence[jax.Array]):
-        laterals = [nn.Conv(self.out_channels, (1, 1), name=f"lat{i + 2}")(c)
+        laterals = [nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                            name=f"lat{i + 2}")(c)
                     for i, c in enumerate(c_feats)]
         # Top-down pathway.
         outs = [laterals[-1]]
@@ -74,6 +83,7 @@ class FPN(nn.Module):
             up = jax.image.resize(outs[0], lat.shape, "nearest")
             outs.insert(0, lat + up)
         ps = [nn.Conv(self.out_channels, (3, 3), padding=1,
+                      dtype=self.dtype,
                       name=f"post{i + 2}")(o) for i, o in enumerate(outs)]
         # P6 for RPN: stride-2 maxpool of P5.
         p6 = nn.max_pool(ps[-1], (1, 1), strides=(2, 2))
@@ -84,9 +94,15 @@ class ResNetFPN(nn.Module):
     depth: int = 50
     out_channels: int = 256
     width_mult: float = 1.0
+    dtype: object = None
 
     @nn.compact
     def __call__(self, images):
-        """images: (B, H, W, 3) normalised.  Returns [P2..P6] (B, h, w, 256)."""
-        c_feats = ResNet(self.depth, self.width_mult, name="resnet")(images)
-        return FPN(self.out_channels, name="fpn")(c_feats)
+        """images: (B, H, W, 3) normalised.  Returns [P2..P6] (B, h, w, 256),
+        cast back to float32 so downstream heads/pooling stay f32-exact."""
+        if self.dtype is not None:
+            images = images.astype(self.dtype)
+        c_feats = ResNet(self.depth, self.width_mult, self.dtype,
+                         name="resnet")(images)
+        ps = FPN(self.out_channels, self.dtype, name="fpn")(c_feats)
+        return [p.astype(jnp.float32) for p in ps]

@@ -332,3 +332,50 @@ class TestEndToEndTrackingSlice:
         overall, per_class = tracker.evaluate(pred, gt, classwise=True)
         assert len(per_class) >= 1
         assert all("mota" in v for v in per_class.values())
+
+
+class TestMOTAccumulatorEdgeCases:
+    def test_match_memory_survives_absence(self):
+        # motmetrics semantics: an object's last match persists across
+        # frames where it is absent; re-matching to the same hypothesis is
+        # a MATCH, to a different one a SWITCH.
+        acc = MOTAccumulator()
+        p = np.array([[0, 0, 0.0]])
+        acc.update([1], ["A"], norm2squared_matrix(p, p, 0.4))
+        acc.update([], [], np.zeros((0, 0)))           # object absent
+        acc.update([1], ["A"], norm2squared_matrix(p, p, 0.4))
+        assert acc.summary()["num_switches"] == 0
+        acc.update([1], ["B"], norm2squared_matrix(p, p, 0.4))
+        assert acc.summary()["num_switches"] == 1
+
+    def test_hungarian_minimises_total(self):
+        # Two GT, two hyps; greedy nearest would mis-assign, Hungarian not.
+        acc = MOTAccumulator()
+        gt = np.array([[0, 0, 0.0], [0.3, 0, 0]])
+        hyp = np.array([[0.25, 0, 0.0], [0.5, 0, 0]])
+        acc.update([1, 2], ["A", "B"], norm2squared_matrix(gt, hyp, 1.0))
+        s = acc.summary()
+        assert s["num_matches"] == 2 and s["num_misses"] == 0
+
+    def test_accumulated_mota_weighting(self):
+        from mot3d_tpu.tracking.mot_metrics import accumulated_mota
+        s1 = {"num_misses": 0, "num_false_positives": 0, "num_switches": 0,
+              "num_objects": 10}
+        s2 = {"num_misses": 5, "num_false_positives": 0, "num_switches": 0,
+              "num_objects": 5}
+        # dataset-level MOTA weights by object count: 1 - 5/15
+        np.testing.assert_allclose(accumulated_mota([s1, s2]), 1 - 5 / 15)
+
+
+class TestRansacDeterminism:
+    def test_same_key_same_result(self):
+        from mot3d_tpu.geometry import estimate_similarity_transform
+        rng = np.random.default_rng(0)
+        src = jnp.asarray(rng.uniform(-0.5, 0.5, (128, 3)), jnp.float32)
+        tgt = 1.3 * src + jnp.asarray([0.1, 0.2, 0.3])
+        v = jnp.ones(128, bool)
+        f1 = estimate_similarity_transform(src, tgt, v, jax.random.PRNGKey(7))
+        f2 = estimate_similarity_transform(src, tgt, v, jax.random.PRNGKey(7))
+        np.testing.assert_array_equal(np.asarray(f1.scale), np.asarray(f2.scale))
+        np.testing.assert_array_equal(np.asarray(f1.rotation),
+                                      np.asarray(f2.rotation))
