@@ -3,8 +3,10 @@
     python -m mot3d_tpu.cli train-detection   # Detection/train_net.py
     python -m mot3d_tpu.cli train-combined    # Detection/train_combined.py
     python -m mot3d_tpu.cli export-detections # Detection/inference_detector.py
-    python -m mot3d_tpu.cli train-tracking    # Tracking/train.py
+    python -m mot3d_tpu.cli train-tracking    # Tracking/train.py (--use_graph)
     python -m mot3d_tpu.cli infer-tracking    # Tracking/inference.py
+    python -m mot3d_tpu.cli train-siamese     # Tracking/train.py (no graph)
+    python -m mot3d_tpu.cli infer-siamese     # Tracking/inference.py (no graph)
 
 Config overrides use `section.field=value` (config.apply_overrides), e.g.
     ... train-tracking --data out/h5/train --val-data out/h5/val \
@@ -61,6 +63,26 @@ def _parse(argv: List[str]):
     it.add_argument("--ckpt", required=True)
     it.add_argument("--out", default="out/tracking_eval")
 
+    # Siamese (non-graph) tracker: reference `Tracking/train.py` with
+    # --use_graph=False, ablations from `Tracking/options.py:36-83`.
+    ts = sub.add_parser("train-siamese", **common)
+    ts.add_argument("--data", required=True, help="dir of scene h5 folders")
+    ts.add_argument("--val-data", required=True)
+    ts.add_argument("--out", default="out/siamese")
+    ts.add_argument("--epochs", type=int, default=None)
+    ts.add_argument("--no-pose", action="store_true")
+    ts.add_argument("--no-geo", action="store_true")
+    ts.add_argument("--use-triplet", action="store_true")
+    ts.add_argument("--use-l1", action="store_true")
+    ts.add_argument("--precompute", action="store_true",
+                    help="cache voxel-encoder features before training")
+    ts.add_argument("--cache-dir", default=None)
+
+    si = sub.add_parser("infer-siamese", **common)
+    si.add_argument("--data", required=True)
+    si.add_argument("--ckpt", required=True)
+    si.add_argument("--out", default="out/siamese_eval")
+
     args, overrides = p.parse_known_args(argv)
     return args, [o for o in overrides if "=" in o]
 
@@ -101,6 +123,35 @@ def main(argv=None):
         trainer = TrackingTrainer(cfg, output_dir=args.out)
         trainer.ckpt = CheckpointManager(args.ckpt)
         trainer.init_state(None)
+        restored = trainer.ckpt.restore(trainer.state)
+        if restored is not None:
+            trainer.state = restored
+        seqs = _load_h5_sequences(args.data, cfg)
+        trainer.inference(seqs, classwise=True)
+
+    elif args.cmd == "train-siamese":
+        import dataclasses as _dc
+        from mot3d_tpu.train.siamese_trainer import SiameseTrainer
+        s = cfg.siamese
+        s = _dc.replace(
+            s, no_pose=args.no_pose or s.no_pose,
+            no_geo=args.no_geo or s.no_geo,
+            use_triplet=args.use_triplet or s.use_triplet,
+            use_l1=args.use_l1 or s.use_l1)
+        cfg = cfg.replace(siamese=s)
+        trainer = SiameseTrainer(cfg, output_dir=args.out)
+        train = _load_h5_sequences(args.data, cfg)
+        val = _load_h5_sequences(args.val_data, cfg)
+        print(trainer.train(train, val, num_epochs=args.epochs,
+                            precompute=args.precompute,
+                            cache_dir=args.cache_dir))
+
+    elif args.cmd == "infer-siamese":
+        from mot3d_tpu.train.checkpoints import CheckpointManager
+        from mot3d_tpu.train.siamese_trainer import SiameseTrainer
+        trainer = SiameseTrainer(cfg, output_dir=args.out)
+        trainer.ckpt = CheckpointManager(args.ckpt)
+        trainer.init_state()
         restored = trainer.ckpt.restore(trainer.state)
         if restored is not None:
             trainer.state = restored

@@ -193,6 +193,29 @@ class TrackingConfig:
 
 
 @dataclass(frozen=True)
+class SiameseConfig:
+    """Siamese (non-graph, `--use_graph=False`) tracker; reference
+    `Tracking/trainer.py:33-171` + `Tracking/options.py:36-83`."""
+    appearance_dim: int = 12                 # voxel_out_dim (trainer.py:48)
+    edge_out_dim: int = 8                    # trainer.py:49
+    classifier_intermed_dim: int = 16        # EdgeClassifier default for in_dim 32
+    # Ablations (options.py:36-83).
+    no_pose: bool = False                    # drop edge (relative-pose) encoder
+    no_geo: bool = False                     # drop voxel (appearance) encoder
+    use_triplet: bool = False                # triplet margin loss on embeddings
+    use_l1: bool = False                     # L1 on sigmoid instead of BCE
+    triplet_margin: float = 1.0              # trainer.py:93
+    # Balanced-BCE clamps (trainer.py:819-827).
+    pos_weight_max: float = 10.0
+    logit_clamp: float = 100.0
+    # Optimiser (options.py:59-74; same defaults as the graph trainer).
+    learning_rate: float = 1e-3
+    weight_decay: float = 1e-4
+    num_epochs: int = 100
+    batch_size: int = 2
+
+
+@dataclass(frozen=True)
 class CombinedConfig:
     """End-to-end training; reference `Detection/train_combined.py`."""
     # Detection kept if objectness > 0.35 and 2D IoU vs GT >= 0.35
@@ -232,6 +255,7 @@ class Config:
     detection: DetectionConfig = field(default_factory=DetectionConfig)
     graph: GraphConfig = field(default_factory=GraphConfig)
     tracking: TrackingConfig = field(default_factory=TrackingConfig)
+    siamese: SiameseConfig = field(default_factory=SiameseConfig)
     combined: CombinedConfig = field(default_factory=CombinedConfig)
     run: RunConfig = field(default_factory=RunConfig)
 

@@ -143,9 +143,15 @@ def triplet_loss(anchor: jax.Array, positive: jax.Array,
                  negative: jax.Array, valid=None,
                  margin: float = 1.0) -> jax.Array:
     """Euclidean triplet margin loss (`Tracking/trainer.py:91-94,833-840`,
-    nn.TripletMarginLoss(margin=1, p=2)), masked mean over valid anchors."""
-    d_pos = jnp.linalg.norm(anchor - positive, axis=-1)
-    d_neg = jnp.linalg.norm(anchor - negative, axis=-1)
+    nn.TripletMarginLoss(margin=1, p=2)), masked mean over valid anchors.
+
+    Distances use an epsilon-regularised sqrt: padded (masked-out) anchors
+    can pair identical embeddings, and d/dx sqrt(x) at 0 is inf — the mask
+    zeroes the forward value but 0 * inf = NaN in the backward pass."""
+    def dist(a, b):
+        return jnp.sqrt(jnp.sum(jnp.square(a - b), axis=-1) + 1e-12)
+    d_pos = dist(anchor, positive)
+    d_neg = dist(anchor, negative)
     per = jnp.maximum(d_pos - d_neg + margin, 0.0)
     if valid is None:
         return per.mean()
