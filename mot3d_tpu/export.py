@@ -161,17 +161,43 @@ class DetectorExporter:
                 path = (os.path.join(out_dir, scene, f"{t}.h5")
                         if write_files else None)
                 m = self.export_frame(sample, path, sub, oracle=oracle)
-                for cls, vi, re_, le in zip(m["classes"], m["voxel_iou"],
-                                            m["rot_err"], m["loc_err"]):
-                    name = MOTFRONT_CLASSES[cls % len(MOTFRONT_CLASSES)]
-                    a = agg.setdefault(name, {"voxel_iou": [], "rot_err": [],
-                                              "loc_err": []})
-                    a["voxel_iou"].append(vi)
-                    a["rot_err"].append(re_)
-                    a["loc_err"].append(le)
-        out: Dict[str, float] = {}
-        for name, a in agg.items():
-            out[f"{name}/voxel_iou"] = float(np.mean(a["voxel_iou"]))
-            out[f"{name}/rot_err_median"] = float(np.median(a["rot_err"]))
-            out[f"{name}/loc_err_median"] = float(np.median(a["loc_err"]))
-        return out
+                _accumulate_classwise(agg, m)
+        return _summarize_classwise(agg)
+
+    def evaluate_samples(self, samples, oracle: bool = False
+                         ) -> Dict[str, float]:
+        """Per-class voxel IoU + pose rotation/location errors over
+        in-memory frames — the FrontEvaluator-equivalent voxnocs eval
+        (`Detection/evaluator/FrontEvaluator.py:243-550`,
+        `EvaluatorUtils.py:18-130` inference_on_dataset_voxnocs) used by
+        `DetectionTrainer.evaluate` every eval period."""
+        rng = jax.random.PRNGKey(0)
+        agg: Dict[str, Dict[str, list]] = {}
+        for sample in samples:
+            rng, sub = jax.random.split(rng)
+            m = self.export_frame(sample, None, sub, oracle=oracle)
+            _accumulate_classwise(agg, m)
+        return _summarize_classwise(agg)
+
+
+def _accumulate_classwise(agg: Dict[str, Dict[str, list]],
+                          m: Dict[str, list]) -> None:
+    for cls, vi, re_, le in zip(m["classes"], m["voxel_iou"],
+                                m["rot_err"], m["loc_err"]):
+        name = MOTFRONT_CLASSES[cls % len(MOTFRONT_CLASSES)]
+        a = agg.setdefault(name, {"voxel_iou": [], "rot_err": [],
+                                  "loc_err": []})
+        a["voxel_iou"].append(vi)
+        a["rot_err"].append(re_)
+        a["loc_err"].append(le)
+
+
+def _summarize_classwise(agg: Dict[str, Dict[str, list]]) -> Dict[str, float]:
+    """Mean voxel IoU + median rotation/location error per class
+    (`Detection/inference/inference_utils.py:log_results` medians)."""
+    out: Dict[str, float] = {}
+    for name, a in agg.items():
+        out[f"{name}/voxel_iou"] = float(np.mean(a["voxel_iou"]))
+        out[f"{name}/rot_err_median"] = float(np.median(a["rot_err"]))
+        out[f"{name}/loc_err_median"] = float(np.median(a["loc_err"]))
+    return out

@@ -27,6 +27,12 @@ def sample_to_gt(batch: DetectionSample) -> GroundTruth:
         voxels=jnp.asarray(batch.voxels), nocs=jnp.asarray(batch.nocs))
 
 
+def _iter_samples(batch: DetectionSample):
+    """Split a leading-axis-batched DetectionSample into per-frame samples."""
+    for i in range(batch.image.shape[0]):
+        yield DetectionSample(*(np.asarray(f)[i] for f in batch))
+
+
 class DetectionTrainState(NamedTuple):
     params: object
     opt_state: object
@@ -82,8 +88,10 @@ class DetectionTrainer:
 
     # ------------------------------------------------------------------
     def train(self, batches: Iterator[DetectionSample],
-              val_batches=None, max_iter: Optional[int] = None
-              ) -> Dict[str, float]:
+              val_batches=None, max_iter: Optional[int] = None,
+              full_eval: bool = True) -> Dict[str, float]:
+        """`full_eval` adds the voxnocs + COCO-AP evaluators to the periodic
+        eval, as the reference's do_test does (`train_net.py:66-90`)."""
         cfg = self.cfg.combined
         max_iter = max_iter or cfg.max_iter
         rng = jax.random.PRNGKey(self.cfg.run.seed + 2)
@@ -102,7 +110,8 @@ class DetectionTrainer:
             step = int(self.state.step)
             self.writer.write(step, metrics)
             if val_batches is not None and step % cfg.eval_period == 0:
-                val = self.evaluate(val_batches)
+                val = self.evaluate(val_batches, voxnocs=full_eval,
+                                    ap=full_eval)
                 self.writer.write(step, val, split="val", echo=True)
                 self.ckpt.update_best("val_loss", val["val_total"], step,
                                       self.state, higher_is_better=False)
@@ -111,9 +120,22 @@ class DetectionTrainer:
         return {k: float(v) for k, v in metrics.items()}
 
     # ------------------------------------------------------------------
-    def evaluate(self, batches) -> Dict[str, float]:
+    def evaluate(self, batches, voxnocs: bool = False,
+                 ap: bool = False) -> Dict[str, float]:
         """Validation losses (the reference's val-loss eval,
-        `EvaluatorUtils.py:234-249` _get_loss)."""
+        `EvaluatorUtils.py:234-249` _get_loss); with `voxnocs`/`ap` also the
+        FrontEvaluator voxel-IoU + pose-error metrics
+        (`FrontEvaluator.py:243-550`) and COCO bbox+segm AP
+        (`EvaluatorUtils.py:358-415`) — the reference runs all three every
+        EVAL_PERIOD (`Detection/train_net.py:66-90` do_test)."""
+        out = self._evaluate_losses(batches)
+        if voxnocs:
+            out.update(self.evaluate_voxnocs(batches))
+        if ap:
+            out.update(self.evaluate_ap(batches, segm=True))
+        return out
+
+    def _evaluate_losses(self, batches) -> Dict[str, float]:
         if self._loss_fn is None:
             self._loss_fn = jax.jit(lambda p, im, gt, r: self.model.apply(
                 p, im, gt, r, method=MaskRCNN.train_losses))
@@ -137,16 +159,48 @@ class DetectionTrainer:
                 p, im, method=MaskRCNN.predict))
         return self._predict(self.state.params, jnp.asarray(images))
 
-    def evaluate_ap(self, batches) -> Dict[str, float]:
-        """COCO-protocol bbox AP over a validation split (the reference's
-        inference_on_dataset_coco + save_ap, `EvaluatorUtils.py:358-415`)."""
+    def evaluate_ap(self, batches, segm: bool = False) -> Dict[str, float]:
+        """COCO-protocol bbox (and optionally segm) AP over a validation
+        split (the reference's inference_on_dataset_coco + save_ap,
+        `EvaluatorUtils.py:358-415`; the vendored COCOEvaluator reports both
+        tasks, `Detection/evaluator/CocoEvaluator.py:32`)."""
         from mot3d_tpu.evaluator.coco_eval import COCOEvaluator
         ev = COCOEvaluator(self.cfg.detection.num_classes)
         for batch in batches:
             dets = self.predict(batch.image)
+            dt_masks = (np.asarray(self._paste_masks(dets.masks, dets.boxes))
+                        if segm else None)
             for i in range(batch.image.shape[0]):
                 ev.add_image(
                     np.asarray(dets.boxes[i]), np.asarray(dets.scores[i]),
                     np.asarray(dets.classes[i]), np.asarray(dets.valid[i]),
-                    batch.boxes[i], batch.classes[i], batch.valid[i])
+                    batch.boxes[i], batch.classes[i], batch.valid[i],
+                    dt_masks=dt_masks[i] if segm else None,
+                    gt_masks=batch.masks[i] if segm else None)
         return ev.summarize()
+
+    def _paste_masks(self, masks28, boxes):
+        """Paste (B, D, 28, 28) ROI mask probs into full-image binary masks
+        (detectron2 paste_masks_in_image equivalent; separable resize)."""
+        if not hasattr(self, "_paste_fn"):
+            from mot3d_tpu.pose.pipeline import paste_patch
+            hw = (self.cfg.detection.pad_height, self.cfg.detection.pad_width)
+
+            def paste_one(m, b):
+                return paste_patch(m[..., None], b, hw)[..., 0] >= 0.5
+
+            self._paste_fn = jax.jit(jax.vmap(jax.vmap(paste_one)))
+        return self._paste_fn(masks28, boxes)
+
+    def evaluate_voxnocs(self, batches) -> Dict[str, float]:
+        """FrontEvaluator-equivalent voxel/NOCS eval during training:
+        per-class mean voxel IoU + median pose rotation/location errors
+        (`Detection/evaluator/FrontEvaluator.py:243-550` _evaluate_voxel /
+        _evaluate_nocs with run_pose, via `EvaluatorUtils.py:18-130`)."""
+        from mot3d_tpu.export import DetectorExporter
+        if not hasattr(self, "_exporter"):
+            self._exporter = DetectorExporter(self.cfg, self.model,
+                                              self.state.params)
+        self._exporter.params = self.state.params
+        samples = (s for batch in batches for s in _iter_samples(batch))
+        return self._exporter.evaluate_samples(samples)

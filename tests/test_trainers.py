@@ -96,6 +96,40 @@ class TestDetectionTrainer:
         dets = trainer.predict(scene.images)
         assert dets.boxes.shape[0] == 2
 
+    def test_full_eval_includes_voxnocs_and_segm_ap(self, tmp_path):
+        """`evaluate(voxnocs=True, ap=True)` mirrors the reference's
+        do_test: FrontEvaluator voxel/pose metrics + COCO bbox AND segm AP
+        (`Detection/train_net.py:66-90`, `CocoEvaluator.py:32`)."""
+        from mot3d_tpu.train.detection_trainer import DetectionTrainer
+        cfg = tiny_cfg()
+        scene = synthetic_detection_scene(cfg.detection, batch=2,
+                                          num_objects=2, seed=0)
+        b = scene.images.shape[0]
+        m = cfg.detection.max_instances
+        rng = np.random.default_rng(0)
+        batch = DetectionSample(
+            image=scene.images,
+            depth=rng.uniform(1.0, 3.0, (b, 64, 64)).astype(np.float32),
+            campose=np.tile(np.eye(4, dtype=np.float32), (b, 1, 1)),
+            boxes=scene.boxes, classes=scene.classes, valid=scene.valid,
+            masks=scene.masks, voxels=scene.voxels, nocs=scene.nocs,
+            boxes3d=rng.normal(size=(b, m, 8, 3)).astype(np.float32),
+            object_ids=np.zeros((b, m), np.int32),
+            locations=np.zeros((b, m, 3), np.float32),
+            rotations=np.zeros((b, m, 3), np.float32),
+            scales3d=np.ones((b, m), np.float32))
+        trainer = DetectionTrainer(cfg, output_dir=str(tmp_path))
+        trainer.train(iter([batch]), max_iter=1)
+        out = trainer.evaluate([batch], voxnocs=True, ap=True)
+        assert np.isfinite(out["val_total"])
+        assert any(k.startswith("bbox/") for k in out)
+        assert any(k.startswith("segm/") for k in out)
+        # Untrained detector: voxnocs eval runs and returns a (possibly
+        # empty) per-class dict without crashing; values, when present,
+        # must be finite.
+        for k, v in out.items():
+            assert np.isfinite(v), (k, v)
+
 
 class TestCombinedTrainer:
     def test_one_step_and_do_test(self, tmp_path):
