@@ -41,7 +41,9 @@ def _project(pts_cam, cam: CameraConfig):
 def write_motfront_fixture(root: str, split: str = "train", num_scenes: int = 1,
                            num_frames: int = 3, num_objects: int = 2,
                            seed: int = 0, voxel_root: str | None = None,
-                           cam: CameraConfig = CameraConfig()):
+                           cam: CameraConfig = CameraConfig(),
+                           camera_pan: float = 0.2,
+                           max_yaw: float = np.pi):
     """Create tiny MOTFront-format scenes with boxes/cuboids moving in world
     space; returns the list of scene names."""
     rng = np.random.default_rng(seed)
@@ -75,14 +77,31 @@ def write_motfront_fixture(root: str, split: str = "train", num_scenes: int = 1,
             # Objects sit on the floor (z = 0): MOTFront's add_halfheight
             # (register_dataset.py:363-377) sets the GT location z to half
             # the box height, which equals the z-centre only then.
+            # Placement: rejection-sample x/y so boxes don't interpenetrate
+            # (real furniture is disjoint; overlapping fixtures would make
+            # argmax-3D-IoU identity assignment, `check_pair`
+            # Tracking/utils/train_utils.py:67-81, ambiguous by
+            # construction rather than by model error).
+            for _ in range(100):
+                loc = np.array([rng.uniform(-1, 1), rng.uniform(-1, 1),
+                                half[2] * scale])
+                r = scale * float(np.hypot(half[0], half[1]))
+                if all(np.hypot(*(loc[:2] - o["loc"][:2])) >
+                       r + o["scale"] * float(np.hypot(o["half"][0],
+                                                       o["half"][1]))
+                       for o in objs):
+                    break
             objs.append({
                 "jid": jid,
                 "cat": int(rng.integers(1, len(MOTFRONT_CLASSES) + 1)),
                 "obj_id": 100 + k,
                 "scale": scale,
-                "yaw": float(rng.uniform(-np.pi, np.pi)),
-                "loc": np.array([rng.uniform(-1, 1), rng.uniform(-1, 1),
-                                 half[2] * scale]),
+                # max_yaw=0 gives axis-aligned boxes, for which the
+                # reference's (x,z)-plane BEV 3D IoU (`compute_3d_iou`) is
+                # geometrically exact; rotated boxes exercise its
+                # side-view-footprint approximation (see PARITY.md).
+                "yaw": float(rng.uniform(-max_yaw, max_yaw)) if max_yaw else 0.0,
+                "loc": loc,
                 "half": half,
             })
 
@@ -94,7 +113,7 @@ def write_motfront_fixture(root: str, split: str = "train", num_scenes: int = 1,
             campose = np.eye(4, dtype=np.float64)
             campose[:3, :3] = np.array([[1, 0, 0], [0, 0, -1], [0, 1, 0]],
                                        np.float64)
-            campose[:3, 3] = [0.2 * t, -3.5, 1.2]
+            campose[:3, 3] = [camera_pan * t, -3.5, 1.2]
             world2cam = np.linalg.inv(campose)
 
             depth = np.zeros((H, W), np.float32)
