@@ -7,6 +7,7 @@
     python -m mot3d_tpu.cli infer-tracking    # Tracking/inference.py
     python -m mot3d_tpu.cli train-siamese     # Tracking/train.py (no graph)
     python -m mot3d_tpu.cli infer-siamese     # Tracking/inference.py (no graph)
+    python -m mot3d_tpu.cli infer-office      # Detection/inference_office_dset.py
 
 Config overrides use `section.field=value` (config.apply_overrides), e.g.
     ... train-tracking --data out/h5/train --val-data out/h5/val \
@@ -83,6 +84,21 @@ def _parse(argv: List[str]):
     si.add_argument("--ckpt", required=True)
     si.add_argument("--out", default="out/siamese_eval")
 
+    # Office (real-world TUM RGB-D) inference: the reference's first-class
+    # entry point `Detection/inference_office_dset.py:51-404`.
+    io_ = sub.add_parser("infer-office", **common)
+    io_.add_argument("--data", required=True, help="office base dir")
+    io_.add_argument("--ckpt", default=None, help="detection ckpt dir")
+    io_.add_argument("--scene", default=None, help="default: all scenes")
+    io_.add_argument("--max-frames", type=int, default=None)
+    io_.add_argument("--tracker", choices=("heuristic", "f2f"),
+                     default="heuristic")
+    io_.add_argument("--fuse", action="store_true",
+                     help="fuse_pose smoothing of the trajectories")
+    io_.add_argument("--mask-person", action="store_true",
+                     help="densepose person masking")
+    io_.add_argument("--out", default="out/office")
+
     args, overrides = p.parse_known_args(argv)
     return args, [o for o in overrides if "=" in o]
 
@@ -104,8 +120,42 @@ def _load_h5_sequences(path: str, cfg: Config):
     return seqs
 
 
+def _init_detector(cfg: Config, ckpt: str | None):
+    """Build a MaskRCNN + params, restored from a detection checkpoint dir
+    when given (best-by-val_loss pointer preferred, like the reference's
+    best_model.pth load in `Detection/inference_detector.py:494-535`)."""
+    import jax
+    import jax.numpy as jnp
+    from mot3d_tpu.models.mask_rcnn import MaskRCNN
+    model = MaskRCNN(cfg.detection)
+    dummy = jnp.zeros((1, cfg.detection.pad_height,
+                       cfg.detection.pad_width, 3))
+    params = jax.jit(lambda k: model.init(
+        k, dummy, method=MaskRCNN.predict))(jax.random.PRNGKey(0))
+    if ckpt:
+        import optax
+        from mot3d_tpu.train.checkpoints import CheckpointManager
+        from mot3d_tpu.train.detection_trainer import DetectionTrainState
+        mgr = CheckpointManager(ckpt)
+        opt = optax.adamw(cfg.combined.detection_lr,
+                          weight_decay=cfg.combined.detection_weight_decay)
+        template = DetectionTrainState(params, opt.init(params),
+                                       jnp.zeros((), jnp.int32))
+        restored = (mgr.restore_best("val_loss", template)
+                    if "val_loss" in mgr.best else mgr.restore(template))
+        if restored is not None:
+            params = restored.params
+            print(f"restored checkpoint at step {int(restored.step)}")
+    return model, params
+
+
 def main(argv=None):
     args, overrides = _parse(argv if argv is not None else sys.argv[1:])
+    # Multi-host rendezvous via MOT3D_COORDINATOR/... env vars (the
+    # reference's launch(num_machines, machine_rank, dist_url),
+    # `Detection/train_net.py:194-201`); a no-op single-host.
+    from mot3d_tpu.parallel.multihost import maybe_initialize_distributed
+    maybe_initialize_distributed()
     enable_compilation_cache()
     cfg = apply_overrides(default_config(), overrides)
 
@@ -201,34 +251,46 @@ def main(argv=None):
                                 test_seqs=test_seqs))
 
     elif args.cmd == "export-detections":
-        import jax
         from mot3d_tpu.data.motfront import MOTFrontDataset
         from mot3d_tpu.export import DetectorExporter
-        from mot3d_tpu.models.mask_rcnn import MaskRCNN
         ds = MOTFrontDataset(args.data, args.split, voxel_dir=args.voxels)
-        model = MaskRCNN(cfg.detection)
-        import jax.numpy as jnp
-        dummy = jnp.zeros((1, cfg.detection.pad_height,
-                           cfg.detection.pad_width, 3))
-        params = jax.jit(lambda k: model.init(
-            k, dummy, method=MaskRCNN.predict))(jax.random.PRNGKey(0))
-        if args.ckpt:
-            import optax
-            from mot3d_tpu.train.checkpoints import CheckpointManager
-            from mot3d_tpu.train.detection_trainer import DetectionTrainState
-            mgr = CheckpointManager(args.ckpt)
-            opt = optax.adamw(cfg.combined.detection_lr,
-                              weight_decay=cfg.combined.detection_weight_decay)
-            template = DetectionTrainState(params, opt.init(params),
-                                           jnp.zeros((), jnp.int32))
-            restored = (mgr.restore_best("val_loss", template)
-                        if "val_loss" in mgr.best else mgr.restore(template))
-            if restored is not None:
-                params = restored.params
-                print(f"restored checkpoint at step {int(restored.step)}")
+        model, params = _init_detector(cfg, args.ckpt)
         exporter = DetectorExporter(cfg, model, params)
         print(exporter.export_split(ds, args.out, max_scenes=args.max_scenes,
                                     oracle=args.oracle))
+
+    elif args.cmd == "infer-office":
+        import json
+        import numpy as np
+        from mot3d_tpu.data.office import OfficeDataset, office_inference
+        from mot3d_tpu.tracking.smoothing import (fuse_pose,
+                                                  fuse_pose_f2f)
+        from mot3d_tpu.tracking.visualise import export_sequence
+        model, params = _init_detector(cfg, args.ckpt)
+        ds = OfficeDataset(args.data,
+                           resize_hw=(cfg.camera.height, cfg.camera.width),
+                           mask_person=args.mask_person)
+        for scene in ([args.scene] if args.scene else ds.scenes):
+            trajs, per_frame = office_inference(
+                cfg, model, params, ds, scene, max_frames=args.max_frames,
+                tracker=args.tracker)
+            if args.fuse:
+                # Heuristic-mode detections carry cad2world -> the F2F
+                # matrix-fusion variant; segment-centre (f2f) tracks only
+                # have locations -> translation/rotation fuse_pose.
+                trajs = [fuse_pose_f2f(t) if "cad2world" in (t[0] if t else {})
+                         else fuse_pose(t) for t in trajs]
+            sdir = os.path.join(args.out, scene)
+            export_sequence(sdir, trajs, with_shapes=args.tracker != "f2f")
+            summary = [[{"scan_idx": int(d["scan_idx"]),
+                         "loc": np.asarray(d["loc"]).tolist(),
+                         "cls": int(d.get("cls", -1))} for d in t]
+                       for t in trajs]
+            with open(os.path.join(sdir, "trajectories.json"), "w") as f:
+                json.dump(summary, f, indent=1)
+            n_dets = sum(len(fd) for fd in per_frame)
+            print(f"{scene}: {len(trajs)} trajectories from {n_dets} "
+                  f"detections over {len(per_frame)} frames -> {sdir}")
 
 
 if __name__ == "__main__":

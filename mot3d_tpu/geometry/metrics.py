@@ -10,10 +10,12 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mot3d_tpu.ops.precision import high_precision
 
-_Y_180 = jnp.diag(jnp.array([-1.0, 1.0, -1.0]))
+# NumPy (not jnp) so importing this module never initialises a JAX backend.
+_Y_180 = np.diag(np.array([-1.0, 1.0, -1.0], np.float32))
 
 
 @high_precision

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mot3d_tpu.ops.precision import high_precision
 
@@ -120,12 +121,14 @@ def cad2world_matrix(rot_euler: jax.Array, loc: jax.Array, scale: jax.Array,
 # (`PoseEst/pose_estimation.py:72-93`), expressed as (sx, sy, sz) signs:
 #   0:(+,+,+) 1:(+,+,-) 2:(-,+,-) 3:(-,+,+)   (top face, y = max)
 #   4:(+,-,+) 5:(+,-,-) 6:(-,-,-) 7:(-,-,+)   (bottom face, y = min)
-_CANONICAL_SIGNS = jnp.array(
+# NumPy (not jnp) so importing this module never initialises a JAX backend
+# (multi-host runs must call jax.distributed.initialize first).
+_CANONICAL_SIGNS = np.array(
     [
         [1, 1, 1], [1, 1, -1], [-1, 1, -1], [-1, 1, 1],
         [1, -1, 1], [1, -1, -1], [-1, -1, -1], [-1, -1, 1],
     ],
-    dtype=jnp.float32,
+    dtype=np.float32,
 )
 
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 
@@ -71,10 +72,11 @@ def nocs_bins_to_values(logits: jax.Array, num_bins: int = 32) -> jax.Array:
 # ------------------------------------------------------------------ loss
 
 
-_Y_ROTATIONS = jnp.stack([
-    jnp.eye(3),
+# NumPy (not jnp) so importing this module never initialises a JAX backend.
+_Y_ROTATIONS = np.stack([
+    np.eye(3, dtype=np.float32),
     # 180 degrees about Y (train_utils.py:57-60).
-    jnp.array([[-1.0, 0, 0], [0, 1.0, 0], [0, 0, -1.0]]),
+    np.array([[-1.0, 0, 0], [0, 1.0, 0], [0, 0, -1.0]], np.float32),
 ])
 
 
