@@ -60,6 +60,14 @@ class PoseConfig:
     clean_depth_min_points: int = 20
     # Fixed-size point buffer per object (padding cap; TPU static shapes).
     max_points: int = 1024
+    # Point extraction: "grid" samples a sqrt(max_points)^2 pixel grid
+    # inside the box (fused box-local resampling, no full-image pastes —
+    # see pose/extraction.py; 1.6x faster pose stage on v5e); "pallas" is
+    # the per-frame fused kernel (ops/pallas/pose_extract.py, identical
+    # outputs); "full" pastes NOCS+mask to the full image and compacts
+    # valid pixels (round-1 path, closest to the reference's all-pixels
+    # gather).  All feed the same outlier removal + RANSAC.
+    extraction: str = "grid"
     # Rotation solver: "quat" (Horn quaternion via power iteration; fast on
     # TPU) or "svd" (jnp.linalg.svd).
     solver: str = "quat"
@@ -222,6 +230,9 @@ class CombinedConfig:
     # (`Detection/train_combined.py:507`, postprocess.py).
     objectness_thres: float = 0.35
     iou2d_thres: float = 0.35
+    # Office/F2F (no-GT) objectness gate
+    # (`Detection/tracker/postprocess.py:240,354` obj_threshold=0.01).
+    objectness_office: float = 0.01
     # Voxel binarisation threshold (`Detection/tracker/postprocess.py`).
     voxel_thres: float = 0.5
     detection_lr: float = 8e-4

@@ -123,47 +123,23 @@ def crop_gt_box3d(depth, campose, intrinsics, gt_box3d, gt_box2d, gt_mask,
 
 
 @high_precision
-def estimate_object_pose(nocs_patch, depth, campose, intrinsics, mask,
-                         box_xyxy, key, cfg: Config,
-                         gt_box3d: Optional[jax.Array] = None,
-                         precomputed=None) -> PoseResult:
-    """Pose of one detection (vmap over instance slots for a whole frame).
+def pose_from_points(depth_pts, nocs_vals, bval, campose, key, cfg: Config,
+                     gt_box3d: Optional[jax.Array] = None) -> PoseResult:
+    """Pose of one detection from an already-extracted point buffer.
 
-    nocs_patch: (28, 28, 3) NOCS prediction for the box; depth (H, W);
-    mask (H, W) predicted instance mask; box_xyxy in image coords.
-    precomputed: optional (pts_map, base_valid, world_map) triple shared by
-    all detections of a frame (backprojection and cam->world depend only on
-    depth/intrinsics/campose — hoisting them out of the per-slot vmap saves
-    a factor of max_instances in that compute).
+    depth_pts (P, 3) camera-space points; nocs_vals (P, 3) in [0, 1];
+    bval (P,) validity.  Shared tail of all extraction modes: GT depth
+    cleaning, outlier removal, RANSAC/Umeyama, campose chaining, world box.
     """
     p = cfg.pose
-    h, w = depth.shape
-    interior = _box_interior_mask(depth.shape, box_xyxy)
-    if precomputed is None:
-        pts_map, base_valid = backproject_depth(depth, intrinsics)
-        world_map = cam_to_world(pts_map.reshape(-1, 3),
-                                 campose).reshape(pts_map.shape)
-    else:
-        pts_map, base_valid, world_map = precomputed
-    valid = base_valid & interior & mask.astype(bool)
-
-    # NOCS value per pixel: separable bilinear paste of the 28x28 patch over
-    # its box (zero outside; border ring differs from edge-clamping by half a
-    # patch cell — those pixels are mask-gated anyway).
-    nocs_map = paste_patch(nocs_patch, box_xyxy, (h, w))
-
-    # Optional GT-box depth cleaning (pose_estimation.py:293-299).
     if gt_box3d is not None:
-        gmin = gt_box3d.min(0)
-        gmax = gt_box3d.max(0)
-        inside = jnp.all((world_map > gmin) & (world_map < gmax), axis=-1)
-        cleaned = valid & inside
+        # GT-box depth cleaning on the buffer (pose_estimation.py:293-299).
+        world_pts = cam_to_world(depth_pts, campose)
+        inside = jnp.all((world_pts > gt_box3d.min(0))
+                         & (world_pts < gt_box3d.max(0)), axis=-1)
+        cleaned = bval & inside
         use_clean = cleaned.sum() > p.clean_depth_min_points
-        valid = jnp.where(use_clean, cleaned, valid)
-
-    feats = jnp.concatenate([pts_map, nocs_map], axis=-1)
-    buf, bval, _ = gather_masked_values(feats, valid, p.max_points)
-    depth_pts, nocs_vals = buf[:, :3], buf[:, 3:]
+        bval = jnp.where(use_clean, cleaned, bval)
 
     # Outlier removal: depth cloud, then NOCS cloud (:310-349).
     keep = statistical_outlier_mask(depth_pts, bval, p.outlier_nb_neighbors,
@@ -203,6 +179,66 @@ def estimate_object_pose(nocs_patch, depth, campose, intrinsics, mask,
                       world_box)
 
 
+@high_precision
+def estimate_object_pose(nocs_patch, depth, campose, intrinsics, mask,
+                         box_xyxy, key, cfg: Config,
+                         gt_box3d: Optional[jax.Array] = None,
+                         precomputed=None) -> PoseResult:
+    """Pose of one detection (vmap over instance slots for a whole frame).
+
+    nocs_patch: (28, 28, 3) NOCS prediction for the box; depth (H, W);
+    mask (H, W) predicted instance mask; box_xyxy in image coords.
+    precomputed: optional (pts_map, base_valid, world_map) triple shared by
+    all detections of a frame (backprojection and cam->world depend only on
+    depth/intrinsics/campose — hoisting them out of the per-slot vmap saves
+    a factor of max_instances in that compute).
+    """
+    p = cfg.pose
+    h, w = depth.shape
+    if p.extraction in ("grid", "pallas"):
+        # Fused box-grid extraction (pose/extraction.py): `mask` is the
+        # detector's 28x28 mask probs here — no full-image pastes at all.
+        # ("pallas" uses the same extraction when called per slot; the
+        # per-frame Pallas kernel is dispatched by postprocess_frame.)
+        from mot3d_tpu.pose.extraction import grid_extract
+        g = int(round(p.max_points ** 0.5))
+        buf, bval = grid_extract(nocs_patch, mask, box_xyxy, depth,
+                                 intrinsics, grid=g)
+        return pose_from_points(buf[:, :3], buf[:, 3:], bval, campose, key,
+                                cfg, gt_box3d)
+
+    interior = _box_interior_mask(depth.shape, box_xyxy)
+    if precomputed is None:
+        pts_map, base_valid = backproject_depth(depth, intrinsics)
+        world_map = cam_to_world(pts_map.reshape(-1, 3),
+                                 campose).reshape(pts_map.shape)
+    else:
+        pts_map, base_valid, world_map = precomputed
+    valid = base_valid & interior & mask.astype(bool)
+
+    # NOCS value per pixel: separable bilinear paste of the 28x28 patch
+    # over its box (zero outside; border ring differs from edge-clamping
+    # by half a patch cell — those pixels are mask-gated anyway).
+    nocs_map = paste_patch(nocs_patch, box_xyxy, (h, w))
+
+    # Optional GT-box depth cleaning (pose_estimation.py:293-299).  Done on
+    # the pixel map here (pose_from_points would redo it on the buffer; the
+    # full path cleans BEFORE compaction so the buffer fills with cleaned
+    # pixels only, exactly as round 1 did).
+    if gt_box3d is not None:
+        gmin = gt_box3d.min(0)
+        gmax = gt_box3d.max(0)
+        inside = jnp.all((world_map > gmin) & (world_map < gmax), axis=-1)
+        cleaned = valid & inside
+        use_clean = cleaned.sum() > p.clean_depth_min_points
+        valid = jnp.where(use_clean, cleaned, valid)
+
+    feats = jnp.concatenate([pts_map, nocs_map], axis=-1)
+    buf, bval, _ = gather_masked_values(feats, valid, p.max_points)
+    return pose_from_points(buf[:, :3], buf[:, 3:], bval, campose, key,
+                            cfg, None)
+
+
 class FrameDetectionsDevice(NamedTuple):
     """Padded per-frame tracking inputs, on device (postprocess output)."""
 
@@ -234,7 +270,10 @@ def postprocess_frame(det_boxes, det_scores, det_classes, det_valid,
     i_slots = det_boxes.shape[0]
     h, w = depth.shape
 
-    keep = jnp.logical_and(det_valid, det_scores > c.objectness_thres)
+    # Office (no-GT) mode gates at 0.01 instead of 0.35
+    # (`Detection/tracker/postprocess.py:240` obj_threshold vs `:22`).
+    obj_thres = c.objectness_thres if use_gt_gate else c.objectness_office
+    keep = jnp.logical_and(det_valid, det_scores > obj_thres)
     # Patch-size gate (>= 3 px, postprocess.py:131-136).
     pw = det_boxes[:, 2] - det_boxes[:, 0]
     ph = det_boxes[:, 3] - det_boxes[:, 1]
@@ -249,31 +288,55 @@ def postprocess_frame(det_boxes, det_scores, det_classes, det_valid,
     else:
         matched_gt_box3d = None
 
-    # Paste 28x28 mask probs into full-image binary masks via their boxes
-    # (separable resize; zero outside the box).
-    def paste_mask(mask28, box):
-        v = paste_patch(mask28[..., None], box, (h, w))[..., 0]
-        return v >= 0.5
+    if cfg.pose.extraction in ("grid", "pallas"):
+        # Box-grid extraction consumes the 28x28 mask probs directly —
+        # no full-image mask paste, no frame-shared backprojection.
+        pose_masks = det_masks
+        shared = None  # grid/pallas paths never read the precompute
+    else:
+        # Paste 28x28 mask probs into full-image binary masks via their
+        # boxes (separable resize; zero outside the box).
+        def paste_mask(mask28, box):
+            v = paste_patch(mask28[..., None], box, (h, w))[..., 0]
+            return v >= 0.5
 
-    full_masks = jax.vmap(paste_mask)(det_masks, det_boxes)
+        pose_masks = jax.vmap(paste_mask)(det_masks, det_boxes)
 
-    # Frame-shared backprojection + cam->world, hoisted out of the vmap.
-    pts_map, base_valid = backproject_depth(depth, intrinsics)
-    world_map = cam_to_world(pts_map.reshape(-1, 3),
-                             campose).reshape(pts_map.shape)
-    shared = (pts_map, base_valid, world_map)
+        # Frame-shared backprojection + cam->world, hoisted out of the vmap.
+        pts_map, base_valid = backproject_depth(depth, intrinsics)
+        world_map = cam_to_world(pts_map.reshape(-1, 3),
+                                 campose).reshape(pts_map.shape)
+        shared = (pts_map, base_valid, world_map)
 
     keys = jax.random.split(key, i_slots)
-    if use_gt_gate:
+    if cfg.pose.extraction == "pallas":
+        # Per-frame fused extraction kernel: all detections in one
+        # pallas_call with the depth map VMEM-resident (ops/pallas/
+        # pose_extract.py), then the shared pose tail per slot.
+        from mot3d_tpu.ops.pallas.pose_extract import pose_extract_pallas
+        g = int(round(cfg.pose.max_points ** 0.5))
+        feats, bvals = pose_extract_pallas(det_nocs, det_masks, det_boxes,
+                                           depth, intrinsics, grid=g)
+        if use_gt_gate:
+            poses = jax.vmap(
+                lambda f, v, k, g3: pose_from_points(
+                    f[:, :3], f[:, 3:], v, campose, k, cfg, g3)
+            )(feats, bvals, keys, matched_gt_box3d)
+        else:
+            poses = jax.vmap(
+                lambda f, v, k: pose_from_points(
+                    f[:, :3], f[:, 3:], v, campose, k, cfg, None)
+            )(feats, bvals, keys)
+    elif use_gt_gate:
         poses = jax.vmap(
             lambda nc, m, b, k, g3: estimate_object_pose(
                 nc, depth, campose, intrinsics, m, b, k, cfg, g3, shared)
-        )(det_nocs, full_masks, det_boxes, keys, matched_gt_box3d)
+        )(det_nocs, pose_masks, det_boxes, keys, matched_gt_box3d)
     else:
         poses = jax.vmap(
             lambda nc, m, b, k: estimate_object_pose(
                 nc, depth, campose, intrinsics, m, b, k, cfg, None, shared)
-        )(det_nocs, full_masks, det_boxes, keys)
+        )(det_nocs, pose_masks, det_boxes, keys)
 
     valid = jnp.logical_and(keep, poses.valid)
     voxels_bin = (det_voxels >= c.voxel_thres).astype(jnp.float32)
