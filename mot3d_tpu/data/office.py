@@ -80,17 +80,26 @@ class OfficeDataset:
 
 def office_inference(cfg, det_model, det_params, dataset: OfficeDataset,
                      scene: str, max_frames: Optional[int] = None,
-                     dist_thres: float = 0.25):
-    """Detector -> camera-space pose (no GT gates) -> heuristic L2 tracking.
+                     dist_thres: float = 0.25, tracker: str = "heuristic"):
+    """Detector -> camera-space pose (no GT gates) -> tracking.
 
     The office variant of the combined pipeline
     (`Detection/inference_office_dset.py`, postprocess_dets_office +
     run_pose_office): identity campose keeps poses in camera space.
+
+    tracker:
+      - "heuristic": greedy L2 matching on pose-estimated locations
+        (`tracking_front.py:64-94` pred_trajectory_office);
+      - "f2f": the Mask-R-CNN-only F2F baseline — association on segment
+        point-cloud centres, no pose input
+        (`postprocess_dets_office_F2F`, `postprocess.py:354-411`).
     """
     import jax
     import jax.numpy as jnp
+    from scipy.spatial.transform import Rotation
     from mot3d_tpu.models.mask_rcnn import MaskRCNN
-    from mot3d_tpu.pose.pipeline import postprocess_frame
+    from mot3d_tpu.pose.pipeline import paste_patch, postprocess_frame
+    from mot3d_tpu.tracking.f2f import F2FTracker, segment_centers
     from mot3d_tpu.tracking.heuristic import HeuristicTracker
 
     predict = jax.jit(lambda p, im: det_model.apply(
@@ -106,6 +115,14 @@ def office_inference(cfg, det_model, det_params, dataset: OfficeDataset,
                                  k, cfg, use_gt_gate=False)
 
     pose_jit = jax.jit(pose)
+
+    def f2f_centers(masks28, boxes, valid, depth, intr):
+        h, w = depth.shape
+        full = jax.vmap(lambda m, b: paste_patch(
+            m[..., None], b, (h, w))[..., 0])(masks28, boxes)
+        return segment_centers(full, boxes, valid, depth, intr)
+
+    f2f_jit = jax.jit(f2f_centers)
     rng = jax.random.PRNGKey(0)
     per_frame = []
     names = dataset.frames(scene)[:max_frames]
@@ -116,21 +133,44 @@ def office_inference(cfg, det_model, det_params, dataset: OfficeDataset,
         img[:fr.rgb.shape[0], :fr.rgb.shape[1]] = fr.rgb
         dets = predict(det_params, jnp.asarray(img)[None])
         rng, sub = jax.random.split(rng)
-        out = pose_jit(dets.boxes[0], dets.scores[0], dets.classes[0],
-                       dets.valid[0], dets.masks[0], dets.voxels[0],
-                       dets.nocs[0], jnp.asarray(fr.depth),
-                       jnp.asarray(fr.intrinsics), sub)
         frame_dets = []
-        valid = np.asarray(out.valid)
-        for i in np.nonzero(valid)[0]:
-            frame_dets.append({
-                "loc": np.asarray(out.translations[i]),
-                "euler": np.asarray(out.rotations[i]),
-                "scale": float(out.scales[i]),
-                "cls": int(np.asarray(dets.classes[0])[i]),
-                "voxel": np.asarray(out.voxels[i]),
-                "box": np.asarray(out.pred_boxes[i]),
-            })
+        if tracker == "f2f":
+            centres, has_pts = f2f_jit(
+                dets.masks[0], dets.boxes[0],
+                jnp.logical_and(dets.valid[0],
+                                dets.scores[0] > cfg.combined.objectness_office),
+                jnp.asarray(fr.depth), jnp.asarray(fr.intrinsics))
+            for i in np.nonzero(np.asarray(has_pts))[0]:
+                frame_dets.append({
+                    "loc": np.asarray(centres[i]),
+                    "cls": int(np.asarray(dets.classes[0])[i]),
+                    "box2d": np.asarray(dets.boxes[0][i]),
+                })
+        else:
+            out = pose_jit(dets.boxes[0], dets.scores[0], dets.classes[0],
+                           dets.valid[0], dets.masks[0], dets.voxels[0],
+                           dets.nocs[0], jnp.asarray(fr.depth),
+                           jnp.asarray(fr.intrinsics), sub)
+            valid = np.asarray(out.valid)
+            for i in np.nonzero(valid)[0]:
+                euler = np.asarray(out.rotations[i])
+                loc = np.asarray(out.translations[i])
+                scale = float(out.scales[i])
+                c2w = np.identity(4)
+                c2w[:3, :3] = Rotation.from_euler("xyz",
+                                                  euler).as_matrix() * scale
+                c2w[:3, 3] = loc
+                frame_dets.append({
+                    "loc": loc,
+                    "euler": euler,
+                    "scale": scale,
+                    "cad2world": c2w,
+                    "cls": int(np.asarray(dets.classes[0])[i]),
+                    "voxel": np.asarray(out.voxels[i]),
+                    "box": np.asarray(out.pred_boxes[i]),
+                })
         per_frame.append(frame_dets)
-    tracker = HeuristicTracker(dist_thres=dist_thres, seq_len=len(names))
-    return tracker.track(per_frame), per_frame
+    trk = (F2FTracker(dist_thres=dist_thres, seq_len=len(names))
+           if tracker == "f2f"
+           else HeuristicTracker(dist_thres=dist_thres, seq_len=len(names)))
+    return trk.track(per_frame), per_frame

@@ -64,3 +64,70 @@ def fuse_pose(trajectory: List[dict], sigma_translation: float = 1.0,
 
 def fuse_trajectories(trajectories: List[List[dict]], **kw) -> List[List[dict]]:
     return [fuse_pose(t, **kw) for t in trajectories]
+
+
+def _unscale(mat3: np.ndarray):
+    """Split a scaled rotation into (rotation, per-column scale)
+    (`vis_utils.py:77-80,115-121`)."""
+    scale = np.linalg.norm(mat3, axis=0)
+    return mat3 / scale, scale
+
+
+def fuse_pose_f2f(trajectory: List[dict], sigma: float = 3.0,
+                  constraint: bool = True,
+                  yaw_clip_frac: float = 0.2) -> List[dict]:
+    """F2F smoothing variant (`Tracking/utils/vis_utils.py:201-318`
+    fuse_pose_F2F): operates on scaled `cad2world` 4x4 matrices.
+
+    Per trajectory: translations fill-forward + gaussian(sigma) per channel;
+    rotations unscaled, Slerp onto every frame, yaw (z euler) gaussian(sigma)
+    smoothed and clipped to +/- yaw_clip_frac of the initial yaw; with
+    `constraint`, x/y eulers are zeroed (upright objects); the per-frame
+    scale re-multiplies the rotation; every other key fills forward.
+    """
+    if len(trajectory) < 2:
+        return list(trajectory)
+    traj = sorted(trajectory, key=lambda d: d["scan_idx"])
+    key_times = np.array([d["scan_idx"] for d in traj], np.float64)
+    full_t = np.arange(int(key_times[0]), int(key_times[-1]) + 1)
+
+    rots, scales, trans = [], {}, {}
+    for d in traj:
+        c2w = np.asarray(d["cad2world"], np.float64)
+        r, s = _unscale(c2w[:3, :3])
+        rots.append(r)
+        scales[d["scan_idx"]] = s
+        trans[d["scan_idx"]] = c2w[:3, 3]
+
+    # Fill-forward translations/scales to every frame, then smooth.
+    t_trans, t_scale, last_tr, last_sc = [], [], None, None
+    for t in full_t:
+        last_tr = trans.get(int(t), last_tr)
+        last_sc = scales.get(int(t), last_sc)
+        t_trans.append(last_tr)
+        t_scale.append(last_sc)
+    t_trans = gaussian_filter1d(np.stack(t_trans), sigma, axis=0)
+
+    slerp = Slerp(key_times, Rotation.from_matrix(np.stack(rots)))
+    eulers = slerp(full_t).as_euler("xyz")
+    eulers[:, -1] = gaussian_filter1d(eulers[:, -1], sigma)
+    y0 = eulers[0, -1]
+    eulers[:, -1] = np.clip(eulers[:, -1], y0 - yaw_clip_frac * y0,
+                            y0 + yaw_clip_frac * y0)
+    if constraint:
+        eulers[:, 0] = 0.0
+        eulers[:, 1] = 0.0
+    rotmats = Rotation.from_euler("xyz", eulers).as_matrix()
+
+    out, src_idx = [], 0
+    for k, t in enumerate(full_t):
+        while src_idx + 1 < len(traj) and traj[src_idx + 1]["scan_idx"] <= t:
+            src_idx += 1
+        det = dict(traj[src_idx])  # fill-forward voxels/boxes/ids/...
+        det["scan_idx"] = int(t)
+        c2w = np.identity(4)
+        c2w[:3, :3] = np.diag(t_scale[k]) @ rotmats[k]
+        c2w[:3, 3] = t_trans[k]
+        det["cad2world"] = c2w
+        out.append(det)
+    return out
