@@ -2,8 +2,10 @@
 
 Replaces the reference's dvis-based 4D replay (`Tracking/visualise/
 visualise.py:13-726`) with portable artefacts: PLY point clouds for scene
-backgrounds and posed object shapes, per-frame trajectory polylines, and a
-cube-per-voxel OBJ mesh (instead of marching cubes, which needed mcubes).
+backgrounds and posed object shapes, per-frame trajectory polylines,
+isosurface meshes (vox2mesh parity via marching tetrahedra,
+`mot3d_tpu.tracking.isosurface`), a cube-per-voxel OBJ fallback, and a
+self-contained interactive HTML replay (`mot3d_tpu.tracking.replay`).
 """
 
 from __future__ import annotations
@@ -64,6 +66,27 @@ def voxel_to_obj(path: str, grid: np.ndarray, rot: np.ndarray,
             base += 8
 
 
+def voxel_to_mesh_obj(path: str, grid: np.ndarray, rot: np.ndarray,
+                      trans: np.ndarray, scale: float,
+                      level: float = 0.5) -> int:
+    """Posed occupancy grid -> smooth isosurface OBJ (the reference's
+    vox2mesh + world transform, `Tracking/visualise/visualise.py:592-617`).
+    Returns the number of faces written (0 = empty grid, no file)."""
+    from mot3d_tpu.tracking.isosurface import vox2mesh
+    verts, faces = vox2mesh(np.asarray(grid, np.float64), level)
+    if len(faces) == 0:
+        return 0
+    world = verts @ (np.asarray(rot, np.float64) * scale).T \
+        + np.asarray(trans, np.float64)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        for p in world:
+            f.write(f"v {p[0]:.5f} {p[1]:.5f} {p[2]:.5f}\n")
+        for a, b, c in faces + 1:
+            f.write(f"f {a} {b} {c}\n")
+    return len(faces)
+
+
 _COLORS = np.array([
     [228, 26, 28], [55, 126, 184], [77, 175, 74], [152, 78, 163],
     [255, 127, 0], [255, 255, 51], [166, 86, 40], [247, 129, 191],
@@ -72,10 +95,18 @@ _COLORS = np.array([
 
 def export_sequence(out_dir: str, trajectories: List[List[dict]],
                     background_pc: Optional[np.ndarray] = None,
-                    with_shapes: bool = False) -> None:
+                    with_shapes: bool = False,
+                    gt_trajectories: Optional[List[List[dict]]] = None,
+                    replay: bool = True) -> None:
     """Write trajectory polyline PLYs (+ posed voxel shapes when detections
-    carry 'voxel'/'euler'/'scale'), mirroring visualise_pred_sequence."""
+    carry 'voxel'/'euler'/'scale'), mirroring visualise_pred_sequence, and
+    an interactive replay.html (dvis 4D replay equivalent)."""
     os.makedirs(out_dir, exist_ok=True)
+    if replay:
+        from mot3d_tpu.tracking.replay import write_replay_html
+        write_replay_html(os.path.join(out_dir, "replay.html"), trajectories,
+                          gt_trajectories=gt_trajectories,
+                          background_pc=background_pc)
     if background_pc is not None:
         pts = background_pc[:, :3]
         col = (background_pc[:, 3:6].astype(np.uint8)
@@ -92,8 +123,11 @@ def export_sequence(out_dir: str, trajectories: List[List[dict]],
                 from mot3d_tpu.geometry.transforms import euler_to_rotmat
                 import jax.numpy as jnp
                 rot = np.asarray(euler_to_rotmat(jnp.asarray(d["euler"])))
-                voxel_to_obj(
-                    os.path.join(out_dir,
-                                 f"shape_{i:03d}_t{d['scan_idx']:03d}.obj"),
-                    np.asarray(d["voxel"]) >= 0.5, rot,
-                    np.asarray(d["loc"]), float(d.get("scale", 1.0)))
+                path = os.path.join(
+                    out_dir, f"shape_{i:03d}_t{d['scan_idx']:03d}.obj")
+                if voxel_to_mesh_obj(path, np.asarray(d["voxel"]) >= 0.5,
+                                     rot, np.asarray(d["loc"]),
+                                     float(d.get("scale", 1.0))) == 0:
+                    voxel_to_obj(path, np.asarray(d["voxel"]) >= 0.5, rot,
+                                 np.asarray(d["loc"]),
+                                 float(d.get("scale", 1.0)))

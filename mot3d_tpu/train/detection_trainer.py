@@ -42,6 +42,7 @@ class DetectionTrainState(NamedTuple):
 class DetectionTrainer:
     def __init__(self, cfg: Config, output_dir: str = "out/detection"):
         self.cfg = cfg
+        self.output_dir = output_dir
         self.model = MaskRCNN(cfg.detection)
         self.optimizer = optax.adamw(
             cfg.combined.detection_lr,
@@ -113,6 +114,9 @@ class DetectionTrainer:
                 val = self.evaluate(val_batches, voxnocs=full_eval,
                                     ap=full_eval)
                 self.writer.write(step, val, split="val", echo=True)
+                if full_eval:
+                    # Voxel/NOCS image renders (FrontEvaluator put_image).
+                    self.write_image_summaries(next(iter(val_batches)), step)
                 self.ckpt.update_best("val_loss", val["val_total"], step,
                                       self.state, higher_is_better=False)
             if step % cfg.checkpoint_period == 0:
@@ -191,6 +195,44 @@ class DetectionTrainer:
 
             self._paste_fn = jax.jit(jax.vmap(jax.vmap(paste_one)))
         return self._paste_fn(masks28, boxes)
+
+    def write_image_summaries(self, batch: DetectionSample, step: int,
+                              max_instances: int = 3) -> list:
+        """Voxel renders + NOCS patch panels for a few GT instances
+        (the reference's tensorboard put_image calls during eval,
+        `Detection/evaluator/FrontEvaluator.py:293-333` voxel plots and
+        `:442-452` NOCS patches).  Heads run on GT boxes
+        (predict_given_boxes) so pred/GT pairs align.  Returns the PNG
+        paths written."""
+        from mot3d_tpu.models.mask_rcnn import MaskRCNN
+        from mot3d_tpu.train.image_summaries import (ImageWriter,
+                                                     render_nocs_panel,
+                                                     render_voxel_views)
+        if not hasattr(self, "_img_writer"):
+            self._img_writer = ImageWriter(self.output_dir)
+        if not hasattr(self, "_given_boxes_fn"):
+            self._given_boxes_fn = jax.jit(
+                lambda p, im, bx, cl: self.model.apply(
+                    p, im, bx, cl, method=MaskRCNN.predict_given_boxes))
+        _, pred_voxels, pred_nocs = self._given_boxes_fn(
+            self.state.params, jnp.asarray(batch.image)[:1],
+            jnp.asarray(batch.boxes)[:1], jnp.asarray(batch.classes)[:1])
+        paths = []
+        written = 0
+        for i in range(batch.valid.shape[1]):
+            if written >= max_instances or not batch.valid[0, i]:
+                continue
+            vox_img = render_voxel_views(
+                np.asarray(pred_voxels[0, i]) >= 0.5,
+                batch.voxels[0, i] >= 0.5)
+            paths.append(self._img_writer.write_image(
+                step, f"voxels/inst{i}", vox_img))
+            nocs_img = render_nocs_panel(np.asarray(pred_nocs[0, i]),
+                                         batch.nocs[0, i])
+            paths.append(self._img_writer.write_image(
+                step, f"nocs/inst{i}", nocs_img))
+            written += 1
+        return paths
 
     def evaluate_voxnocs(self, batches) -> Dict[str, float]:
         """FrontEvaluator-equivalent voxel/NOCS eval during training:

@@ -29,20 +29,22 @@ class TestSiamese:
             jnp.array(seq.scales), jnp.array(seq.pred_boxes),
             jnp.array(seq.gt_boxes), jnp.array(seq.gt_ids),
             jnp.array(seq.gt_valid))
-        model = SiameseTracker()
+        from mot3d_tpu.config import SiameseConfig
+        model = SiameseTracker(SiameseConfig())
         vox = jnp.array(seq.voxels.reshape(-1, 32, 32, 32))
         rel = siamese_edge_features(graph.edge_attr)
         assert rel.shape[-1] == 7
         params = model.init(jax.random.PRNGKey(0), vox, graph.src, graph.dst,
                             rel, graph.edge_mask)
-        logits = model.apply(params, vox, graph.src, graph.dst, rel,
-                             graph.edge_mask)
+        logits, emb = model.apply(params, vox, graph.src, graph.dst, rel,
+                                  graph.edge_mask)
         assert logits.shape == graph.src.shape
         assert np.isfinite(np.asarray(logits)).all()
+        assert emb is not None and emb.shape[0] == vox.shape[0]
 
         def loss(p):
-            lg = model.apply(p, vox, graph.src, graph.dst, rel,
-                             graph.edge_mask)
+            lg, _ = model.apply(p, vox, graph.src, graph.dst, rel,
+                                graph.edge_mask)
             from mot3d_tpu.models.mpn import balanced_bce_loss
             return balanced_bce_loss(lg, graph.targets, graph.edge_mask)
 
