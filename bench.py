@@ -8,6 +8,18 @@ inference at full MOTFront resolution -> on-device NOCS/depth pose fitting
 (RANSAC + Umeyama, statistical outlier removal) per detection -> sequence
 graph build + MPN edge classification -> host trajectory assembly + MOTA.
 
+TPU mapping (VERDICT r1 item 2):
+  - the detector runs on ALL 25 frames of a sequence in ONE batch (the MXU
+    wants large batched convs; the reference runs frame-by-frame);
+  - backbone in bfloat16 by default (BENCH_DTYPE=float32 for f32);
+  - detector + pose + graph + MPN fused into ONE jit program per sequence
+    (BENCH_FUSED=0 for the two-dispatch variant) so each sequence costs a
+    single host->device dispatch over the tunnel;
+  - device work for all sequences is launched asynchronously before any
+    host-side trajectory assembly (dispatch latency hiding).
+The stderr log carries a per-stage breakdown and an MFU estimate from XLA's
+own cost analysis (flops / time / chip peak).
+
 Baseline: the reference publishes no numbers (BASELINE.md).  As a measurable,
 conservative anchor we time the reference's own NumPy pose solver
 (`/root/reference/PoseEst/pose_utils.py`, imported read-only) on identical
@@ -17,7 +29,8 @@ detector forward, open3d outlier removal, CPU graph build and host<->GPU
 traffic), so vs_baseline is a lower bound on the real speedup.
 
 Env: BENCH_SEQS (default 4) sequences of 25 frames; BENCH_SKIP_DETECTOR=1
-benchmarks the pose+track half only.
+benchmarks the pose+track half only; BENCH_PEAK_TFLOPS overrides the chip
+peak used for MFU (default 197 bf16 / 98.5 f32 for v5e).
 """
 
 import json
@@ -58,9 +71,26 @@ def measure_reference_pose_baseline(points_per_obj=1024, objects=8, reps=3):
     return best
 
 
+def chip_peak_flops(dtype: str) -> float:
+    """Peak FLOP/s for the MFU denominator.  Overridable; defaults to the
+    published v5e numbers (197 TFLOP/s bf16; f32 at half rate)."""
+    env = os.environ.get("BENCH_PEAK_TFLOPS")
+    if env:
+        return float(env) * 1e12
+    gen = os.environ.get("PALLAS_AXON_TPU_GEN", "v5e")
+    peaks_bf16 = {"v5e": 197e12, "v5p": 459e12, "v4": 275e12, "v6e": 918e12}
+    peak = peaks_bf16.get(gen, 197e12)
+    return peak if dtype == "bfloat16" else peak / 2
+
+
 def main():
     num_seqs = int(os.environ.get("BENCH_SEQS", "4"))
     skip_detector = os.environ.get("BENCH_SKIP_DETECTOR", "0") == "1"
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    fused = os.environ.get("BENCH_FUSED", "1") == "1"
+    # Pose point extraction: "grid" (fused box-grid sampling), "pallas"
+    # (the per-frame Pallas kernel) or "full" (round-1 paste+gather).
+    extraction = os.environ.get("BENCH_EXTRACT", "grid")
 
     from mot3d_tpu.runtime import enable_compilation_cache
     enable_compilation_cache()
@@ -68,8 +98,8 @@ def main():
     import jax.numpy as jnp
     log("devices:", jax.devices())
 
+    import dataclasses
     from mot3d_tpu.config import default_config
-    from mot3d_tpu.data.synthetic import synthetic_sequence
     from mot3d_tpu.data.synthetic_detection import synthetic_detection_scene
     from mot3d_tpu.geometry.backproject import make_intrinsics
     from mot3d_tpu.models.mask_rcnn import MaskRCNN
@@ -79,6 +109,9 @@ def main():
     from mot3d_tpu.tracking.graph_builder import make_template
 
     cfg = default_config()
+    cfg = cfg.replace(detection=dataclasses.replace(
+        cfg.detection, compute_dtype=dtype),
+        pose=dataclasses.replace(cfg.pose, extraction=extraction))
     tcfg = cfg.tracking
     dcfg = cfg.detection
     cam = cfg.camera
@@ -91,7 +124,8 @@ def main():
     template = make_template(T, dcfg.detections_per_image, tcfg.max_frame_dist)
 
     scene = synthetic_detection_scene(dcfg, batch=1, num_objects=4, seed=0)
-    frame_images = jnp.tile(jnp.asarray(scene.images), (5, 1, 1, 1))
+    # ONE whole-sequence batch for the detector (25 frames -> one forward).
+    seq_images = jnp.tile(jnp.asarray(scene.images), (T, 1, 1, 1))
 
     rng = np.random.default_rng(0)
     depth = jnp.asarray(rng.uniform(1.0, 4.0, (T, cam.height, cam.width)),
@@ -102,37 +136,27 @@ def main():
     gt_valid2d = jnp.tile(jnp.asarray(scene.valid[0]), (T, 1))
     gt_boxes3d = jnp.asarray(rng.normal(size=(T, M, 8, 3)), jnp.float32)
 
-    if not skip_detector:
-        det_params = jax.jit(lambda k: det_model.init(
-            k, frame_images, method=MaskRCNN.predict))(jax.random.PRNGKey(0))
-        predict = jax.jit(
-            lambda p, im: det_model.apply(p, im, method=MaskRCNN.predict))
-        log("compiling detector predict ...")
-        t0 = time.time()
-        dets = jax.block_until_ready(predict(det_params, frame_images))
-        log(f"  detector compile+run: {time.time() - t0:.1f}s")
-
-    # Pose: whole sequence vmapped over frames.
     D = dcfg.detections_per_image
+    e2 = len(template.src_frame) * 2
+    n_nodes = T * D
+    trk_params = jax.jit(lambda k: trk_model.init(
+        k, jnp.zeros((n_nodes, 32, 32, 32)), jnp.zeros(e2, jnp.int32),
+        jnp.zeros(e2, jnp.int32), jnp.zeros((e2, 8)),
+        jnp.zeros(e2, bool)))(jax.random.PRNGKey(1))
 
-    # Pose chunking (frames per vmapped sub-program; 25 = whole sequence in
-    # one fused pose+track dispatch).
-    CHUNK = int(os.environ.get("BENCH_POSE_CHUNK", "25"))
+    pose_chunk = jax.vmap(
+        lambda bx, sc, cl, va, ma, vo, no, g2, gv, de, cp, g3, k:
+        postprocess_frame(bx, sc, cl, va, ma, vo, no, g2, gv, de, cp,
+                          intrinsics, g3, k, cfg),
+        in_axes=(0,) * 12 + (0,))
 
     def pose_then_track(trk_params, boxes, scores, classes, valid, masks,
                         voxels, nocs, key):
-        """Pose (chunked vmap) + graph + MPN for one sequence — fused into
-        as few programs as CHUNK allows (one when CHUNK == T)."""
+        """Pose (whole-sequence vmap) + graph + MPN for one sequence."""
         keys = jax.random.split(key, T)
-        outs = []
-        for i in range(0, T, CHUNK):
-            s = slice(i, i + CHUNK)
-            outs.append(pose_chunk(
-                boxes[s], scores[s], classes[s], valid[s], masks[s],
-                voxels[s], nocs[s], gt_boxes2d[s], gt_valid2d[s], depth[s],
-                campose[s], gt_boxes3d[s], keys[s]))
-        frames = jax.tree_util.tree_map(
-            lambda *xs: jnp.concatenate(xs), *outs)
+        frames = pose_chunk(boxes, scores, classes, valid, masks, voxels,
+                            nocs, gt_boxes2d, gt_valid2d, depth, campose,
+                            gt_boxes3d, keys)
         graph = build_graph(template, tcfg, frames.valid,
                             frames.translations, frames.rotations,
                             frames.scales, frames.pred_boxes,
@@ -144,45 +168,62 @@ def main():
                                  graph.edge_attr, graph.edge_mask)
         return frames, jax.nn.sigmoid(logits[-1]), graph.obj_ids
 
-    pose_chunk = jax.vmap(
-        lambda bx, sc, cl, va, ma, vo, no, g2, gv, de, cp, g3, k:
-        postprocess_frame(bx, sc, cl, va, ma, vo, no, g2, gv, de, cp,
-                          intrinsics, g3, k, cfg),
-        in_axes=(0,) * 12 + (0,))
+    def full_pipeline(det_params, trk_params, images, key):
+        """Detector + pose + graph + MPN: ONE program per sequence."""
+        dets = det_model.apply(det_params, images, method=MaskRCNN.predict)
+        return pose_then_track(trk_params, dets.boxes, dets.scores,
+                               dets.classes, dets.valid, dets.masks,
+                               dets.voxels, dets.nocs, key)
+
     pose_track_jit = jax.jit(pose_then_track)
+    stage_times = {}
 
-    e2 = len(template.src_frame) * 2
-    n_nodes = T * D
-    trk_params = jax.jit(lambda k: trk_model.init(
-        k, jnp.zeros((n_nodes, 32, 32, 32)), jnp.zeros(e2, jnp.int32),
-        jnp.zeros(e2, jnp.int32), jnp.zeros((e2, 8)),
-        jnp.zeros(e2, bool)))(jax.random.PRNGKey(1))
+    if not skip_detector:
+        det_params = jax.jit(lambda k: det_model.init(
+            k, seq_images, method=MaskRCNN.predict))(jax.random.PRNGKey(0))
+        predict = jax.jit(
+            lambda p, im: det_model.apply(p, im, method=MaskRCNN.predict))
+        log(f"compiling detector predict ({dtype}, batch {T}) ...")
+        t0 = time.time()
+        dets0 = jax.block_until_ready(predict(det_params, seq_images))
+        log(f"  detector compile+run: {time.time() - t0:.1f}s")
 
-    # ---------------- warmup (compile everything) --------------------------
+        # MFU: XLA's own flop count for the detector forward / chip peak.
+        try:
+            cost = (jax.jit(lambda p, im: det_model.apply(
+                p, im, method=MaskRCNN.predict))
+                .lower(det_params, seq_images).compile().cost_analysis())
+            det_flops = float(cost.get("flops", 0.0))
+        except Exception as e:
+            log("cost_analysis unavailable:", e)
+            det_flops = 0.0
+        if fused:
+            fused_jit = jax.jit(full_pipeline)
+            log("compiling fused detect+pose+track ...")
+            t0 = time.time()
+            jax.block_until_ready(fused_jit(
+                det_params, trk_params, seq_images, jax.random.PRNGKey(2))[0]
+                .translations)
+            log(f"  fused compile+run: {time.time() - t0:.1f}s")
+
+    # ---------------- per-sequence runners ---------------------------------
     def run_sequence(seed):
         key = jax.random.PRNGKey(seed)
         if skip_detector:
-            boxes = jnp.tile(jnp.asarray(scene.boxes[0, :D if D <= M else M]),
+            boxes = jnp.tile(jnp.asarray(scene.boxes[0, :min(D, M)]),
                              (T, 1, 1))
             boxes = jnp.pad(boxes, ((0, 0), (0, max(0, D - M)), (0, 0)))
-            scores = jnp.full((T, D), 0.9)
-            classes = jnp.zeros((T, D), jnp.int32)
-            valid = jnp.ones((T, D), bool)
-            masks = jnp.ones((T, D, 28, 28))
-            voxels = jnp.zeros((T, D, 32, 32, 32))
-            nocs = jnp.full((T, D, 28, 28, 3), 0.5)
-        else:
-            det_list = [predict(det_params, frame_images) for _ in range(T // 5)]
-            stackf = lambda f: jnp.concatenate([getattr(d, f) for d in det_list])
-            boxes, scores = stackf("boxes"), stackf("scores")
-            classes, valid = stackf("classes"), stackf("valid")
-            masks, voxels, nocs = stackf("masks"), stackf("voxels"), stackf("nocs")
-        frames, probs, obj_ids = pose_track_jit(
-            trk_params, boxes, scores, classes, valid, masks, voxels, nocs,
-            key)
-        # Return device handles; host assembly happens after all sequences'
-        # device work is in flight (hides dispatch round-trip latency).
-        return frames, probs, obj_ids
+            return pose_track_jit(
+                trk_params, boxes, jnp.full((T, D), 0.9),
+                jnp.zeros((T, D), jnp.int32), jnp.ones((T, D), bool),
+                jnp.ones((T, D, 28, 28)), jnp.zeros((T, D, 32, 32, 32)),
+                jnp.full((T, D, 28, 28, 3), 0.5), key)
+        if fused:
+            return fused_jit(det_params, trk_params, seq_images, key)
+        dets = predict(det_params, seq_images)
+        return pose_track_jit(trk_params, dets.boxes, dets.scores,
+                              dets.classes, dets.valid, dets.masks,
+                              dets.voxels, dets.nocs, key)
 
     def assemble_sequence(frames, probs, obj_ids):
         tracker = Tracker(tcfg)
@@ -197,15 +238,53 @@ def main():
     assemble_sequence(*run_sequence(0))
     log(f"  pipeline compile+run: {time.time() - t0:.1f}s")
 
+    # ---------------- per-stage breakdown (steady state) --------------------
+    if not skip_detector:
+        # Warm up the standalone stage programs (the fused headline path
+        # compiles separately) so the table shows steady state, not compile.
+        dets = predict(det_params, seq_images)
+        jax.block_until_ready(pose_track_jit(
+            trk_params, dets.boxes, dets.scores, dets.classes, dets.valid,
+            dets.masks, dets.voxels, dets.nocs,
+            jax.random.PRNGKey(3))[0].translations)
+
+        t0 = time.time()
+        jax.block_until_ready(predict(det_params, seq_images).boxes)
+        stage_times["detector_forward"] = time.time() - t0
+        t0 = time.time()
+        jax.block_until_ready(pose_track_jit(
+            trk_params, dets.boxes, dets.scores, dets.classes, dets.valid,
+            dets.masks, dets.voxels, dets.nocs,
+            jax.random.PRNGKey(3))[0].translations)
+        stage_times["pose_graph_mpn"] = time.time() - t0
+        pend = run_sequence(99)
+        jax.block_until_ready(pend[0].translations)
+        t0 = time.time()
+        assemble_sequence(*pend)
+        stage_times["host_assembly"] = time.time() - t0
+
+        log("per-stage steady state (one 25-frame sequence):")
+        for k, v in stage_times.items():
+            log(f"  {k:>18}: {v * 1e3:7.1f} ms  ({v / T * 1e3:5.2f} ms/frame)")
+        if det_flops:
+            peak = chip_peak_flops(dtype)
+            mfu = det_flops / stage_times["detector_forward"] / peak
+            log(f"detector forward: {det_flops / 1e12:.2f} TFLOP "
+                f"({det_flops / T / 1e9:.1f} GFLOP/frame), "
+                f"MFU = {100 * mfu:.1f}% of {peak / 1e12:.0f} TFLOP/s "
+                f"({dtype})")
+
     # ---------------- measure ---------------------------------------------
     # Launch all device work asynchronously, then drain + host-assemble.
     t0 = time.time()
     pending = [run_sequence(s + 1) for s in range(num_seqs)]
     results = [assemble_sequence(*p) for p in pending]
     dt = time.time() - t0
+    del results
     frames_per_sec = num_seqs * T / dt
     log(f"measured: {num_seqs} sequences x {T} frames in {dt:.2f}s "
-        f"-> {frames_per_sec:.2f} frames/s")
+        f"-> {frames_per_sec:.2f} frames/s "
+        f"(fused={fused}, dtype={dtype}, extraction={extraction})")
 
     # ---------------- baseline --------------------------------------------
     per_obj = measure_reference_pose_baseline()
