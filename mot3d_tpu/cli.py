@@ -35,6 +35,9 @@ def _parse(argv: List[str]):
     td.add_argument("--voxels", default=None)
     td.add_argument("--out", default="out/detection")
     td.add_argument("--max-iter", type=int, default=None)
+    td.add_argument("--cache-samples", type=int, default=4096,
+                    help="frames kept decoded in memory across epochs "
+                         "(0 disables)")
 
     tc = sub.add_parser("train-combined", **common)
     tc.add_argument("--data", required=True)
@@ -216,7 +219,8 @@ def main(argv=None):
         val_ds = MOTFrontDataset(args.data, "val", voxel_dir=args.voxels)
         trainer = DetectionTrainer(cfg, output_dir=args.out)
         batches = iterate_detection_batches(
-            ds, cfg.detection, cfg.combined.batch_size, epochs=10_000)
+            ds, cfg.detection, cfg.combined.batch_size, epochs=10_000,
+            cache_samples=args.cache_samples)
         val_iter = list(iterate_detection_batches(
             val_ds, cfg.detection, cfg.combined.batch_size, shuffle=False))
         print(trainer.train(batches, val_iter, max_iter=args.max_iter))

@@ -103,24 +103,40 @@ def stack_samples(samples: List[DetectionSample]) -> DetectionSample:
 def iterate_detection_batches(ds: MOTFrontDataset, cfg: DetectionConfig,
                               batch_size: int, shuffle: bool = True,
                               seed: int = 0, epochs: int = 1,
-                              prefetch: int = 2
+                              prefetch: int = 2,
+                              cache_samples: int = 0
                               ) -> Iterator[DetectionSample]:
-    """Background-thread prefetched batch iterator over all frames."""
+    """Background-thread prefetched batch iterator over all frames.
+
+    cache_samples > 0 keeps up to that many loaded frames in memory so
+    later epochs skip png/hdf5/binvox decoding entirely (the reference's
+    DataLoader with NUM_WORKERS=0 re-decodes every epoch,
+    `Detection/cfg_setup.py:45`); size it to the dataset for small runs,
+    leave 0 for datasets larger than RAM.
+    """
     scenes = ds.scenes()
     index = [(s, t) for s in scenes
              for t in range(len(ds.load_scene(s).frames))]
     rng = np.random.default_rng(seed)
     q: queue.Queue = queue.Queue(maxsize=prefetch)
     stop = object()
+    cache: dict = {}
+
+    def load(k):
+        if k in cache:
+            return cache[k]
+        scene, t = index[k]
+        sample = load_frame(ds, ds.load_scene(scene).frames[t], cfg)
+        if len(cache) < cache_samples:
+            cache[k] = sample
+        return sample
 
     def worker():
         for _ in range(epochs):
             order = rng.permutation(len(index)) if shuffle else range(len(index))
             batch: List[DetectionSample] = []
             for k in order:
-                scene, t = index[k]
-                frame = ds.load_scene(scene).frames[t]
-                batch.append(load_frame(ds, frame, cfg))
+                batch.append(load(int(k)))
                 if len(batch) == batch_size:
                     q.put(stack_samples(batch))
                     batch = []

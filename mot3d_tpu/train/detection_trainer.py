@@ -97,7 +97,10 @@ class DetectionTrainer:
         max_iter = max_iter or cfg.max_iter
         rng = jax.random.PRNGKey(self.cfg.run.seed + 2)
         metrics: Dict[str, float] = {}
-        for i, batch in enumerate(batches):
+        # Device-side prefetch: the H2D copy of batch N+1 overlaps the
+        # compute of batch N (data/prefetch.py).
+        from mot3d_tpu.data.prefetch import device_prefetch
+        for i, batch in enumerate(device_prefetch(batches)):
             if i >= max_iter:
                 break
             if self.state is None:
@@ -115,8 +118,10 @@ class DetectionTrainer:
                                     ap=full_eval)
                 self.writer.write(step, val, split="val", echo=True)
                 if full_eval:
-                    # Voxel/NOCS image renders (FrontEvaluator put_image).
+                    # Voxel/NOCS image renders (FrontEvaluator put_image)
+                    # + per-class AP / pose-error charts (save_ap).
                     self.write_image_summaries(next(iter(val_batches)), step)
+                    self.write_chart_summaries(val, step)
                 self.ckpt.update_best("val_loss", val["val_total"], step,
                                       self.state, higher_is_better=False)
             if step % cfg.checkpoint_period == 0:
@@ -233,6 +238,37 @@ class DetectionTrainer:
                 step, f"nocs/inst{i}", nocs_img))
             written += 1
         return paths
+
+    def write_chart_summaries(self, metrics: Dict[str, float],
+                              step: int) -> list:
+        """Per-class bar charts from the eval metric dict: bbox/segm AP per
+        class (`EvaluatorUtils.py:358-415` save_ap) and voxel-IoU /
+        rotation / location medians per class (FrontEvaluator renders)."""
+        from mot3d_tpu.config import MOTFRONT_CLASSES
+        from mot3d_tpu.train.image_summaries import (ImageWriter,
+                                                     render_class_bars)
+        if not hasattr(self, "_img_writer"):
+            self._img_writer = ImageWriter(self.output_dir)
+        charts = []
+        for task in ("bbox", "segm"):
+            # Keys look like "bbox/AP/class_<i>" (coco_eval.compute_ap).
+            per_class = {
+                MOTFRONT_CLASSES[int(k.rsplit("class_", 1)[1])]: v
+                for k, v in metrics.items()
+                if k.startswith(f"{task}/AP/class_")}
+            if per_class:
+                charts.append((f"ap/{task}", per_class,
+                               f"{task} AP per class", "AP"))
+        for metric, ylabel in (("voxel_iou", "IoU"),
+                               ("rot_err_median", "deg"),
+                               ("loc_err_median", "m")):
+            per_class = {k.split("/")[0]: v for k, v in metrics.items()
+                         if k.endswith("/" + metric)}
+            if per_class:
+                charts.append((f"pose/{metric}", per_class, metric, ylabel))
+        return [self._img_writer.write_image(
+            step, tag, render_class_bars(vals, title, ylabel))
+            for tag, vals, title, ylabel in charts]
 
     def evaluate_voxnocs(self, batches) -> Dict[str, float]:
         """FrontEvaluator-equivalent voxel/NOCS eval during training:

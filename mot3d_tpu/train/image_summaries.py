@@ -73,6 +73,29 @@ def render_nocs_panel(pred_nocs: np.ndarray,
     return (np.clip(img, 0, 1) * 255).astype(np.uint8)
 
 
+def render_class_bars(values: "dict[str, float]", title: str = "",
+                      ylabel: str = "") -> np.ndarray:
+    """Per-class bar chart -> (H, W, 3) uint8 (the reference's per-class
+    AP tensorboard plots, `EvaluatorUtils.py:358-415` save_ap, and the
+    per-class rotation/location error renders in FrontEvaluator)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    fig, ax = plt.subplots(figsize=(6, 3), dpi=100)
+    names = list(values)
+    ax.bar(range(len(names)), [values[k] for k in names],
+           color="#377eb8")
+    ax.set_xticks(range(len(names)))
+    ax.set_xticklabels(names, rotation=30, ha="right", fontsize=8)
+    ax.set_title(title, fontsize=10)
+    ax.set_ylabel(ylabel, fontsize=8)
+    fig.tight_layout()
+    fig.canvas.draw()
+    img = np.asarray(fig.canvas.buffer_rgba())[..., :3].copy()
+    plt.close(fig)
+    return img
+
+
 class ImageWriter:
     """PNG files (always) + tensorboard events (when available)."""
 

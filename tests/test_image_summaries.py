@@ -57,6 +57,37 @@ def test_image_writer_writes_png_and_tb(tmp_path):
     w.close()
 
 
+def test_render_class_bars():
+    from mot3d_tpu.train.image_summaries import render_class_bars
+    img = render_class_bars({"chair": 0.8, "table": 0.5, "sofa": 0.9},
+                            title="bbox AP per class", ylabel="AP")
+    assert img.dtype == np.uint8 and img.ndim == 3 and img.shape[2] == 3
+    assert img.shape[0] > 100 and img.shape[1] > 100
+
+
+def test_chart_summaries_from_metric_dict(tmp_path):
+    """write_chart_summaries turns eval metric keys (bbox/AP/<cls>,
+    <class>/rot_err_median, ...) into per-class chart PNGs without running
+    a model."""
+    from mot3d_tpu.config import Config
+    from mot3d_tpu.train.detection_trainer import DetectionTrainer
+    trainer = DetectionTrainer(Config(), output_dir=str(tmp_path))
+    metrics = {
+        "bbox/AP": 0.5, "bbox/AP/class_0": 0.6, "bbox/AP/class_1": 0.4,
+        "segm/AP/class_0": 0.55,
+        "chair/rot_err_median": 4.2, "table/rot_err_median": 6.0,
+        "chair/loc_err_median": 0.05, "chair/voxel_iou": 0.9,
+        "val_total": 1.0,
+    }
+    paths = trainer.write_chart_summaries(metrics, step=3)
+    names = {os.path.basename(p) for p in paths}
+    assert any(n.startswith("ap_bbox") for n in names)
+    assert any(n.startswith("ap_segm") for n in names)
+    assert any(n.startswith("pose_rot_err_median") for n in names)
+    assert any(n.startswith("pose_voxel_iou") for n in names)
+    assert all(os.path.isfile(p) for p in paths)
+
+
 def test_detection_trainer_image_summaries(tmp_path):
     """write_image_summaries runs the heads at GT boxes and writes pred/GT
     pair images."""
