@@ -66,6 +66,8 @@ def _parse(argv: List[str]):
     it.add_argument("--data", required=True)
     it.add_argument("--ckpt", required=True)
     it.add_argument("--out", default="out/tracking_eval")
+    it.add_argument("--export-vis", action="store_true",
+                    help="write per-sequence replay.html + trajectory PLYs")
 
     # Siamese (non-graph) tracker: reference `Tracking/train.py` with
     # --use_graph=False, ablations from `Tracking/options.py:36-83`.
@@ -86,6 +88,8 @@ def _parse(argv: List[str]):
     si.add_argument("--data", required=True)
     si.add_argument("--ckpt", required=True)
     si.add_argument("--out", default="out/siamese_eval")
+    si.add_argument("--export-vis", action="store_true",
+                    help="write per-sequence replay.html + trajectory PLYs")
 
     # Office (real-world TUM RGB-D) inference: the reference's first-class
     # entry point `Detection/inference_office_dset.py:51-404`.
@@ -180,7 +184,9 @@ def main(argv=None):
         if restored is not None:
             trainer.state = restored
         seqs = _load_h5_sequences(args.data, cfg)
-        trainer.inference(seqs, classwise=True)
+        trainer.inference(seqs, classwise=True,
+                          export_dir=os.path.join(args.out, "vis")
+                          if args.export_vis else None)
 
     elif args.cmd == "train-siamese":
         import dataclasses as _dc
@@ -209,7 +215,9 @@ def main(argv=None):
         if restored is not None:
             trainer.state = restored
         seqs = _load_h5_sequences(args.data, cfg)
-        trainer.inference(seqs, classwise=True)
+        trainer.inference(seqs, classwise=True,
+                          export_dir=os.path.join(args.out, "vis")
+                          if args.export_vis else None)
 
     elif args.cmd == "train-detection":
         from mot3d_tpu.data.detection_loader import iterate_detection_batches

@@ -255,11 +255,13 @@ class SiameseTrainer:
         single = jax.tree_util.tree_map(lambda x: x[0], batch)
         return self._fwd(self.state.params, single)
 
-    def validate(self, seqs: List[dict], classwise: bool = False):
-        """Per-sequence MOTA + mean BCE loss (`Tracking/trainer.py:725-805`)."""
+    def validate(self, seqs: List[dict], classwise: bool = False,
+                 export_dir: str = None):
+        """Per-sequence MOTA + mean BCE loss (`Tracking/trainer.py:725-805`).
+        export_dir: write per-sequence replay/PLY visualisations."""
         summaries, losses = [], []
         per_class_acc: Dict[str, list] = {}
-        for seq in seqs:
+        for si, seq in enumerate(seqs):
             graph, probs, loss = self._forward_sequence(seq)
             losses.append(float(loss))
             pred = self.tracker.assemble(
@@ -270,6 +272,10 @@ class SiameseTrainer:
                 np.asarray(seq["gt_ids"]), np.asarray(seq["gt_valid"]),
                 np.asarray(seq["gt_locations"]),
                 np.asarray(seq["gt_classes"]))
+            if export_dir is not None:
+                from mot3d_tpu.tracking.visualise import export_sequence
+                export_sequence(os.path.join(export_dir, f"seq_{si:03d}"),
+                                pred, gt_trajectories=gt)
             if classwise:
                 summary, per_class = self.tracker.evaluate(pred, gt, True)
                 for k, v in per_class.items():
@@ -289,8 +295,10 @@ class SiameseTrainer:
                 out[f"mota_{k}"] = accumulated_mota(v)
         return out
 
-    def inference(self, seqs: List[dict], classwise: bool = True):
-        result = self.validate(seqs, classwise=classwise)
+    def inference(self, seqs: List[dict], classwise: bool = True,
+                  export_dir: str = None):
+        result = self.validate(seqs, classwise=classwise,
+                               export_dir=export_dir)
         for k, v in sorted(result.items()):
             print(f"{k}: {v:.4f}")
         return result

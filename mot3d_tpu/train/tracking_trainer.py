@@ -126,12 +126,17 @@ class TrackingTrainer:
         single = jax.tree_util.tree_map(lambda x: x[0], batch)
         return self._fwd(self.state.params, single)
 
-    def validate(self, seqs: List[dict], classwise: bool = False):
-        """Per-sequence MOTA + mean loss (`mpn_trainer.py:728-809`)."""
+    def validate(self, seqs: List[dict], classwise: bool = False,
+                 export_dir: str = None):
+        """Per-sequence MOTA + mean loss (`mpn_trainer.py:728-809`).
+
+        export_dir: when given, write per-sequence visualisations
+        (trajectory PLYs + interactive replay.html with pred AND GT
+        tracks — the reference's visualise_pred_sequence replay)."""
         summaries, losses = [], []
         e = len(self.template.src_frame)
         per_class_acc: Dict[str, list] = {}
-        for seq in seqs:
+        for si, seq in enumerate(seqs):
             graph, probs, loss = self._forward_sequence(seq)
             losses.append(float(loss))
             pred = self.tracker.assemble(
@@ -141,6 +146,10 @@ class TrackingTrainer:
             gt = self.tracker.gt_trajectories(
                 np.asarray(seq["gt_ids"]), np.asarray(seq["gt_valid"]),
                 np.asarray(seq["gt_locations"]), np.asarray(seq["gt_classes"]))
+            if export_dir is not None:
+                from mot3d_tpu.tracking.visualise import export_sequence
+                export_sequence(os.path.join(export_dir, f"seq_{si:03d}"),
+                                pred, gt_trajectories=gt)
             if classwise:
                 summary, per_class = self.tracker.evaluate(pred, gt, True)
                 for k, v in per_class.items():
@@ -160,10 +169,13 @@ class TrackingTrainer:
                 out[f"mota_{k}"] = accumulated_mota(v)
         return out
 
-    def inference(self, seqs: List[dict], classwise: bool = True):
+    def inference(self, seqs: List[dict], classwise: bool = True,
+                  export_dir: str = None):
         """`Tracking/inference.py` path: eval pretrained models on test
-        sequences, print accumulated + per-class MOTA."""
-        result = self.validate(seqs, classwise=classwise)
+        sequences, print accumulated + per-class MOTA; optionally export
+        per-sequence replay/PLY visualisations."""
+        result = self.validate(seqs, classwise=classwise,
+                               export_dir=export_dir)
         for k, v in sorted(result.items()):
             print(f"{k}: {v:.4f}")
         return result

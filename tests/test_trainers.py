@@ -54,14 +54,20 @@ class TestTrackingTrainer:
         assert int(restored.step) == int(trainer.state.step)
 
     def test_inference_prints_classwise(self, tmp_path, capsys):
+        import os
         from mot3d_tpu.train.tracking_trainer import TrackingTrainer
         cfg = tiny_cfg()
         trainer = TrackingTrainer(cfg, output_dir=str(tmp_path))
         seqs = seq_dicts(cfg, 2)
         trainer.init_state(None)
-        result = trainer.inference(seqs)
+        vis = str(tmp_path / "vis")
+        result = trainer.inference(seqs, export_dir=vis)
         assert "mota" in result
         assert any(k.startswith("mota_") for k in result)
+        # replay + trajectory exports written per sequence
+        for si in range(2):
+            names = os.listdir(os.path.join(vis, f"seq_{si:03d}"))
+            assert "replay.html" in names
 
 
 class TestDetectionTrainer:
