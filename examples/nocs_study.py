@@ -147,11 +147,13 @@ def main():
     floor = target_consistency_floor(frames_samples)
     print(f"target cross-frame consistency floor (smooth-L1): {floor:.4f}")
 
-    results = {"consistency_floor": floor}
     summary_path = "out/nocs_study/summary.json"
+    results = {}
     if os.path.isfile(summary_path):
         with open(summary_path) as f:
             results.update(json.load(f))
+    # This run's floor wins over any stale value from a previous summary.
+    results["consistency_floor"] = floor
     for name, use_bin in (("regression", False), ("bin", True)):
         if name not in args.variants.split(","):
             continue

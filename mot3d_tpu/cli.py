@@ -35,9 +35,9 @@ def _parse(argv: List[str]):
     td.add_argument("--voxels", default=None)
     td.add_argument("--out", default="out/detection")
     td.add_argument("--max-iter", type=int, default=None)
-    td.add_argument("--cache-samples", type=int, default=4096,
+    td.add_argument("--cache-samples", type=int, default=256,
                     help="frames kept decoded in memory across epochs "
-                         "(0 disables)")
+                         "(~7 MB/frame at full size; 0 disables)")
 
     tc = sub.add_parser("train-combined", **common)
     tc.add_argument("--data", required=True)

@@ -45,12 +45,17 @@ def device_prefetch(batches: Iterator, buffer_size: int = 2,
         try:
             for batch in batches:
                 q.put(jax.tree_util.tree_map(put, batch))
-        finally:
             q.put(stop)
+        except BaseException as e:  # propagate loader/transfer errors
+            q.put(e)
 
     threading.Thread(target=worker, daemon=True).start()
     while True:
         item = q.get()
         if item is stop:
             return
+        if isinstance(item, BaseException):
+            # Re-raise in the consumer: a data error must abort training,
+            # not masquerade as iterator exhaustion.
+            raise item
         yield item

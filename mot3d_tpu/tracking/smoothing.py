@@ -30,6 +30,12 @@ def fuse_pose(trajectory: List[dict], sigma_translation: float = 1.0,
     if len(trajectory) < 2:
         return list(trajectory)
     traj = sorted(trajectory, key=lambda d: d["scan_idx"])
+    # One detection per frame (duplicate times would break Slerp/interp).
+    seen: set = set()
+    traj = [d for d in traj
+            if d["scan_idx"] not in seen and not seen.add(d["scan_idx"])]
+    if len(traj) < 2:
+        return list(traj)
     times = np.array([d["scan_idx"] for d in traj], np.float64)
     locs = np.stack([np.asarray(d["loc"], np.float64) for d in traj])
 
@@ -80,14 +86,32 @@ def fuse_pose_f2f(trajectory: List[dict], sigma: float = 3.0,
     fuse_pose_F2F): operates on scaled `cad2world` 4x4 matrices.
 
     Per trajectory: translations fill-forward + gaussian(sigma) per channel;
-    rotations unscaled, Slerp onto every frame, yaw (z euler) gaussian(sigma)
-    smoothed and clipped to +/- yaw_clip_frac of the initial yaw; with
-    `constraint`, x/y eulers are zeroed (upright objects); the per-frame
-    scale re-multiplies the rotation; every other key fills forward.
+    rotations unscaled, Slerp onto every frame, yaw (z euler — MOTFront
+    world space is z-up, matching the reference's F2F choice of
+    channel -1 and zeroing x/y under `constraint`) gaussian(sigma)
+    smoothed and clipped to a +/- yaw_clip_frac*|yaw0| band around the
+    initial yaw; the per-frame scale re-multiplies the rotation; every
+    other key fills forward, and 'loc'/'euler' are kept in sync with the
+    rebuilt cad2world.
+
+    Deliberate deviations from `vis_utils.py:295-304` (documented because
+    both are latent bugs there): the reference's clip bounds
+    (y0 -/+ frac*y0) invert for negative initial yaw, collapsing the whole
+    series to one bound — we use |y0|; and the reference recomposes as
+    diag(s) @ R although its own decomposition was R @ diag(s) — we
+    recompose consistently (identical for the isotropic scales the pose
+    solver produces).
     """
     if len(trajectory) < 2:
         return list(trajectory)
     traj = sorted(trajectory, key=lambda d: d["scan_idx"])
+    # One detection per frame: a heuristic track can briefly hold two
+    # same-frame entries; duplicate times would break Slerp.
+    seen: set = set()
+    traj = [d for d in traj
+            if d["scan_idx"] not in seen and not seen.add(d["scan_idx"])]
+    if len(traj) < 2:
+        return list(traj)
     key_times = np.array([d["scan_idx"] for d in traj], np.float64)
     full_t = np.arange(int(key_times[0]), int(key_times[-1]) + 1)
 
@@ -112,8 +136,8 @@ def fuse_pose_f2f(trajectory: List[dict], sigma: float = 3.0,
     eulers = slerp(full_t).as_euler("xyz")
     eulers[:, -1] = gaussian_filter1d(eulers[:, -1], sigma)
     y0 = eulers[0, -1]
-    eulers[:, -1] = np.clip(eulers[:, -1], y0 - yaw_clip_frac * y0,
-                            y0 + yaw_clip_frac * y0)
+    band = yaw_clip_frac * abs(y0)
+    eulers[:, -1] = np.clip(eulers[:, -1], y0 - band, y0 + band)
     if constraint:
         eulers[:, 0] = 0.0
         eulers[:, 1] = 0.0
@@ -126,8 +150,13 @@ def fuse_pose_f2f(trajectory: List[dict], sigma: float = 3.0,
         det = dict(traj[src_idx])  # fill-forward voxels/boxes/ids/...
         det["scan_idx"] = int(t)
         c2w = np.identity(4)
-        c2w[:3, :3] = np.diag(t_scale[k]) @ rotmats[k]
+        c2w[:3, :3] = rotmats[k] @ np.diag(t_scale[k])
         c2w[:3, 3] = t_trans[k]
         det["cad2world"] = c2w
+        # Keep the flat pose fields consistent with the smoothed matrix:
+        # downstream exports read 'loc'/'euler', not the matrix.
+        det["loc"] = t_trans[k]
+        det["euler"] = eulers[k].copy()
+        det["scale"] = float(np.mean(t_scale[k]))
         out.append(det)
     return out

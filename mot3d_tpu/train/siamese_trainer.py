@@ -212,6 +212,9 @@ class SiameseTrainer:
         step_fn = self._step(from_features)
         rng = np.random.default_rng(self.cfg.run.seed)
         last: Dict[str, float] = {}
+        # Fewer sequences than batch_size must still train (otherwise the
+        # epoch loop is empty and an untrained model gets checkpointed).
+        batch_size = max(1, min(batch_size, len(train_seqs)))
         for _ in range(num_epochs):
             order = rng.permutation(len(train_seqs))
             for i in range(0, len(order) - batch_size + 1, batch_size):

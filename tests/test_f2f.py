@@ -133,3 +133,36 @@ class TestFusePoseF2F:
     def test_short_trajectory_passthrough(self):
         t = self._traj()[:1]
         assert fuse_pose_f2f(t) == t
+
+    def test_negative_yaw_not_collapsed(self):
+        """The reference's clip bounds invert for negative initial yaw
+        (vis_utils.py:295) and collapse the series; ours must keep a
+        +/-20%*|yaw| band."""
+        traj = []
+        for t in range(4):
+            yaw = -1.0 + 0.02 * t
+            c, s = np.cos(yaw), np.sin(yaw)
+            c2w = np.identity(4)
+            c2w[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+            c2w[:3, 3] = [0.1 * t, 0, 0]
+            traj.append({"scan_idx": t, "cad2world": c2w})
+        out = fuse_pose_f2f(traj, sigma=1.0, constraint=True)
+        yaws = np.array([d["euler"][2] for d in out])
+        assert (np.abs(yaws + 1.0) < 0.25).all()  # near the initial yaw
+        assert len(np.unique(np.round(yaws, 6))) > 1  # not a constant
+
+    def test_duplicate_frame_entries_do_not_crash(self):
+        traj = self._traj()
+        traj.append(dict(traj[1]))  # second detection at the same frame
+        out = fuse_pose_f2f(traj, sigma=1.0)
+        assert [d["scan_idx"] for d in out] == [0, 1, 2, 3, 4]
+
+    def test_loc_euler_synced_with_matrix(self):
+        out = fuse_pose_f2f(self._traj(), sigma=1.0)
+        for d in out:
+            np.testing.assert_allclose(d["loc"], d["cad2world"][:3, 3])
+            r = d["cad2world"][:3, :3] / 2.0  # uniform scale 2
+            from scipy.spatial.transform import Rotation
+            np.testing.assert_allclose(
+                Rotation.from_matrix(r).as_euler("xyz"), d["euler"],
+                atol=1e-8)
