@@ -48,20 +48,24 @@ class DetectorExporter:
 
     # ------------------------------------------------------------------
     def export_frame(self, sample: DetectionSample, out_path: Optional[str],
-                     rng, oracle: bool = False) -> Dict[str, list]:
+                     rng, oracle: bool = False,
+                     dets=None) -> Dict[str, list]:
         """Run detector + pose on one frame; optionally write the .h5.
 
         oracle=True substitutes ground truth for the network outputs
         (GT boxes/classes/masks/NOCS patches/voxels) — an upper-bound run
         that exercises pose + export + tracking quality without a trained
-        detector.  Returns per-class metric lists
+        detector.  `dets` supplies precomputed Detections (leading dim 1)
+        so an eval loop can share one batched prediction pass across the
+        voxnocs and AP evaluators.  Returns per-class metric lists
         {"voxel_iou", "rot_err", "loc_err"}.
         """
-        if oracle:
-            dets = self._oracle_detections(sample)
-        else:
-            images = jnp.asarray(sample.image)[None]
-            dets = self._predict(self.params, images)
+        if dets is None:
+            if oracle:
+                dets = self._oracle_detections(sample)
+            else:
+                images = jnp.asarray(sample.image)[None]
+                dets = self._predict(self.params, images)
 
         # GT 3D boxes cropped to visible extent (`inference_detector.py:86-119`).
         gt_masks = jnp.asarray(sample.masks[:, :self.cfg.camera.height,
@@ -164,18 +168,22 @@ class DetectorExporter:
                 _accumulate_classwise(agg, m)
         return _summarize_classwise(agg)
 
-    def evaluate_samples(self, samples, oracle: bool = False
-                         ) -> Dict[str, float]:
+    def evaluate_samples(self, samples, oracle: bool = False,
+                         dets_list=None) -> Dict[str, float]:
         """Per-class voxel IoU + pose rotation/location errors over
         in-memory frames — the FrontEvaluator-equivalent voxnocs eval
         (`Detection/evaluator/FrontEvaluator.py:243-550`,
         `EvaluatorUtils.py:18-130` inference_on_dataset_voxnocs) used by
-        `DetectionTrainer.evaluate` every eval period."""
+        `DetectionTrainer.evaluate` every eval period.  `dets_list`
+        supplies per-sample precomputed Detections (shared prediction
+        pass)."""
         rng = jax.random.PRNGKey(0)
         agg: Dict[str, Dict[str, list]] = {}
-        for sample in samples:
+        for i, sample in enumerate(samples):
             rng, sub = jax.random.split(rng)
-            m = self.export_frame(sample, None, sub, oracle=oracle)
+            m = self.export_frame(
+                sample, None, sub, oracle=oracle,
+                dets=None if dets_list is None else dets_list[i])
             _accumulate_classwise(agg, m)
         return _summarize_classwise(agg)
 

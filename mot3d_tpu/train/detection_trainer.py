@@ -138,10 +138,17 @@ class DetectionTrainer:
         (`EvaluatorUtils.py:358-415`) — the reference runs all three every
         EVAL_PERIOD (`Detection/train_net.py:66-90` do_test)."""
         out = self._evaluate_losses(batches)
-        if voxnocs:
-            out.update(self.evaluate_voxnocs(batches))
-        if ap:
-            out.update(self.evaluate_ap(batches, segm=True))
+        if voxnocs or ap:
+            # ONE batched prediction pass shared by the voxnocs and AP
+            # evaluators (the reference runs separate evaluator loops;
+            # predicting once here removes two full detector sweeps).
+            shared = [(batch, self.predict(batch.image))
+                      for batch in batches]
+            if voxnocs:
+                out.update(self.evaluate_voxnocs(batches, shared=shared))
+            if ap:
+                out.update(self.evaluate_ap(batches, segm=True,
+                                            shared=shared))
         return out
 
     def _evaluate_losses(self, batches) -> Dict[str, float]:
@@ -168,15 +175,18 @@ class DetectionTrainer:
                 p, im, method=MaskRCNN.predict))
         return self._predict(self.state.params, jnp.asarray(images))
 
-    def evaluate_ap(self, batches, segm: bool = False) -> Dict[str, float]:
+    def evaluate_ap(self, batches, segm: bool = False,
+                    shared=None) -> Dict[str, float]:
         """COCO-protocol bbox (and optionally segm) AP over a validation
         split (the reference's inference_on_dataset_coco + save_ap,
         `EvaluatorUtils.py:358-415`; the vendored COCOEvaluator reports both
-        tasks, `Detection/evaluator/CocoEvaluator.py:32`)."""
+        tasks, `Detection/evaluator/CocoEvaluator.py:32`).  `shared`:
+        optional precomputed [(batch, dets)] prediction pass."""
         from mot3d_tpu.evaluator.coco_eval import COCOEvaluator
         ev = COCOEvaluator(self.cfg.detection.num_classes)
-        for batch in batches:
-            dets = self.predict(batch.image)
+        for batch, dets in (shared if shared is not None
+                            else ((b, self.predict(b.image))
+                                  for b in batches)):
             dt_masks = (np.asarray(self._paste_masks(dets.masks, dets.boxes))
                         if segm else None)
             for i in range(batch.image.shape[0]):
@@ -270,15 +280,27 @@ class DetectionTrainer:
             step, tag, render_class_bars(vals, title, ylabel))
             for tag, vals, title, ylabel in charts]
 
-    def evaluate_voxnocs(self, batches) -> Dict[str, float]:
+    def evaluate_voxnocs(self, batches, shared=None) -> Dict[str, float]:
         """FrontEvaluator-equivalent voxel/NOCS eval during training:
         per-class mean voxel IoU + median pose rotation/location errors
         (`Detection/evaluator/FrontEvaluator.py:243-550` _evaluate_voxel /
-        _evaluate_nocs with run_pose, via `EvaluatorUtils.py:18-130`)."""
+        _evaluate_nocs with run_pose, via `EvaluatorUtils.py:18-130`).
+        `shared`: optional precomputed [(batch, dets)] prediction pass —
+        per-frame slices are handed to the exporter instead of re-running
+        the detector sample by sample."""
         from mot3d_tpu.export import DetectorExporter
         if not hasattr(self, "_exporter"):
             self._exporter = DetectorExporter(self.cfg, self.model,
                                               self.state.params)
         self._exporter.params = self.state.params
-        samples = (s for batch in batches for s in _iter_samples(batch))
-        return self._exporter.evaluate_samples(samples)
+        if shared is None:
+            samples = (s for batch in batches for s in _iter_samples(batch))
+            return self._exporter.evaluate_samples(samples)
+        samples, dets_list = [], []
+        for batch, dets in shared:
+            for i, s in enumerate(_iter_samples(batch)):
+                samples.append(s)
+                dets_list.append(jax.tree_util.tree_map(
+                    lambda x, i=i: x[i:i + 1], dets))
+        return self._exporter.evaluate_samples(samples,
+                                               dets_list=dets_list)
