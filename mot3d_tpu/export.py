@@ -185,6 +185,9 @@ class DetectorExporter:
                 sample, None, sub, oracle=oracle,
                 dets=None if dets_list is None else dets_list[i])
             _accumulate_classwise(agg, m)
+        # Raw per-instance lists kept for histogram summaries
+        # (FrontEvaluator's per-instance error distributions).
+        self.last_raw_metrics = agg
         return _summarize_classwise(agg)
 
 

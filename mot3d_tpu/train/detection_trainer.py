@@ -276,9 +276,25 @@ class DetectionTrainer:
                          if k.endswith("/" + metric)}
             if per_class:
                 charts.append((f"pose/{metric}", per_class, metric, ylabel))
-        return [self._img_writer.write_image(
+        paths = [self._img_writer.write_image(
             step, tag, render_class_bars(vals, title, ylabel))
             for tag, vals, title, ylabel in charts]
+
+        # Per-instance error histograms from the last voxnocs eval
+        # (FrontEvaluator's error-distribution renders).
+        raw = getattr(getattr(self, "_exporter", None),
+                      "last_raw_metrics", None)
+        if raw:
+            from mot3d_tpu.train.image_summaries import render_histogram
+            for metric, xlabel in (("rot_err", "deg"), ("loc_err", "m")):
+                pooled = [v for per_cls in raw.values()
+                          for v in per_cls.get(metric, [])]
+                if pooled:
+                    paths.append(self._img_writer.write_image(
+                        step, f"hist/{metric}",
+                        render_histogram(pooled, f"{metric} per instance",
+                                         xlabel)))
+        return paths
 
     def evaluate_voxnocs(self, batches, shared=None) -> Dict[str, float]:
         """FrontEvaluator-equivalent voxel/NOCS eval during training:

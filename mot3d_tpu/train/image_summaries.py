@@ -96,6 +96,29 @@ def render_class_bars(values: "dict[str, float]", title: str = "",
     return img
 
 
+def render_histogram(values, title: str = "", xlabel: str = "",
+                     bins: int = 20) -> np.ndarray:
+    """Per-instance error histogram -> (H, W, 3) uint8 (FrontEvaluator's
+    per-instance rotation/location error distributions)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    fig, ax = plt.subplots(figsize=(5, 3), dpi=100)
+    v = np.asarray(list(values), np.float64)
+    ax.hist(v, bins=bins, color="#4daf4a", edgecolor="white")
+    if v.size:
+        ax.axvline(float(np.median(v)), color="#e41a1c", lw=1.2,
+                   label=f"median {np.median(v):.3g}")
+        ax.legend(fontsize=8)
+    ax.set_title(title, fontsize=10)
+    ax.set_xlabel(xlabel, fontsize=8)
+    fig.tight_layout()
+    fig.canvas.draw()
+    img = np.asarray(fig.canvas.buffer_rgba())[..., :3].copy()
+    plt.close(fig)
+    return img
+
+
 class ImageWriter:
     """PNG files (always) + tensorboard events (when available)."""
 

@@ -65,6 +65,37 @@ def test_render_class_bars():
     assert img.shape[0] > 100 and img.shape[1] > 100
 
 
+def test_render_histogram():
+    from mot3d_tpu.train.image_summaries import render_histogram
+    img = render_histogram([1.0, 2.0, 2.5, 8.0], "rot_err", "deg")
+    assert img.dtype == np.uint8 and img.ndim == 3
+    empty = render_histogram([], "rot_err", "deg")
+    assert empty.dtype == np.uint8
+
+
+def test_chart_summaries_include_histograms(tmp_path):
+    """When the exporter has raw per-instance metrics from a voxnocs eval,
+    write_chart_summaries also renders pooled error histograms."""
+    from mot3d_tpu.config import Config
+    from mot3d_tpu.train.detection_trainer import DetectionTrainer
+
+    class FakeExporter:
+        last_raw_metrics = {
+            "chair": {"voxel_iou": [0.9], "rot_err": [3.0, 5.0],
+                      "loc_err": [0.04, 0.1]},
+            "sofa": {"voxel_iou": [0.8], "rot_err": [9.0],
+                     "loc_err": [0.2]},
+        }
+
+    trainer = DetectionTrainer(Config(), output_dir=str(tmp_path))
+    trainer._exporter = FakeExporter()
+    paths = trainer.write_chart_summaries({"chair/rot_err_median": 4.0},
+                                          step=1)
+    names = {os.path.basename(p) for p in paths}
+    assert any(n.startswith("hist_rot_err") for n in names)
+    assert any(n.startswith("hist_loc_err") for n in names)
+
+
 def test_chart_summaries_from_metric_dict(tmp_path):
     """write_chart_summaries turns eval metric keys (bbox/AP/<cls>,
     <class>/rot_err_median, ...) into per-class chart PNGs without running
