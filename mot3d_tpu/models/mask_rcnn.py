@@ -38,10 +38,14 @@ from mot3d_tpu.models.resnet_fpn import ResNetFPN
 from mot3d_tpu.models.rpn import (RPNHead, decode_deltas, encode_deltas,
                                   generate_anchors, label_anchors,
                                   level_slices, rpn_losses, select_proposals,
-                                  smooth_l1, subsample_labels)
+                                  select_proposals_batched, smooth_l1,
+                                  subsample_labels)
 from mot3d_tpu.models.voxel_head import Pix2VoxDecoder, voxel_loss
-from mot3d_tpu.ops.nms import batched_nms_mask, top_k_by_score
-from mot3d_tpu.ops.roi_align import multilevel_roi_align, roi_align
+from mot3d_tpu.ops.nms import (batched_nms_mask, gather_rows,
+                               top_k_by_score)
+from mot3d_tpu.ops.roi_align import (multilevel_roi_align,
+                                     multilevel_roi_align_batched,
+                                     roi_align)
 
 STRIDES = (4, 8, 16, 32)          # P2..P5 (ROI pooling levels)
 RPN_STRIDES = (4, 8, 16, 32, 64)  # + P6 for proposals
@@ -134,10 +138,6 @@ class MaskRCNN(nn.Module):
         return level_slices(c.pad_height, c.pad_width, len(c.anchor_ratios),
                             RPN_STRIDES)
 
-    def _pool(self, feats_b, boxes, size):
-        """feats_b: list of per-level (h, w, C) for ONE image."""
-        return multilevel_roi_align(feats_b, boxes, size, STRIDES)
-
     # ----------------------------------------------------------- training
 
     def train_losses(self, images, gt: GroundTruth, rng):
@@ -151,47 +151,46 @@ class MaskRCNN(nn.Module):
 
         rngs = jax.random.split(rng, 2 * b)
 
-        # --- RPN losses + proposals, per image ---
-        rpn_obj_l, rpn_box_l = 0.0, 0.0
-        prop_boxes, prop_valid = [], []
-        for i in range(b):
-            tgt = label_anchors(anchors, gt.boxes[i], gt.valid[i],
-                                c.rpn_pos_iou, c.rpn_neg_iou)
-            ol, bl = rpn_losses(objness[i], deltas[i], anchors, tgt,
-                                rngs[i], c.rpn_batch_per_image,
-                                c.rpn_positive_fraction)
-            rpn_obj_l += ol / b
-            rpn_box_l += bl / b
-            pb, ps, pv = select_proposals(
-                anchors, jax.lax.stop_gradient(objness[i]),
-                jax.lax.stop_gradient(deltas[i]), slices,
-                (c.pad_height, c.pad_width), c.rpn_pre_nms_topk_train,
-                c.rpn_post_nms_topk_train, c.rpn_nms_thresh,
-                not c.fast_nms)
-            prop_boxes.append(pb)
-            prop_valid.append(pv)
+        # --- RPN losses + proposals: ONE vmapped program over the batch
+        # (pure functions; an unrolled per-image loop duplicates the anchor
+        # matching + NMS HLO per image and was a large share of the
+        # combined-step compile time) ---
+        targets = jax.vmap(
+            lambda gb, gv: label_anchors(anchors, gb, gv, c.rpn_pos_iou,
+                                         c.rpn_neg_iou))(gt.boxes, gt.valid)
+        obj_ls, box_ls = jax.vmap(
+            lambda o, d, t, r: rpn_losses(o, d, anchors, t, r,
+                                          c.rpn_batch_per_image,
+                                          c.rpn_positive_fraction))(
+            objness, deltas, targets, rngs[:b])
+        rpn_obj_l = obj_ls.mean()
+        rpn_box_l = box_ls.mean()
+        pb, ps, pv = select_proposals_batched(
+            anchors, jax.lax.stop_gradient(objness),
+            jax.lax.stop_gradient(deltas), slices,
+            (c.pad_height, c.pad_width), c.rpn_pre_nms_topk_train,
+            c.rpn_post_nms_topk_train, c.rpn_nms_thresh, not c.fast_nms)
 
-        # --- ROI sampling + heads, per image; heads batched over images ---
-        all_pooled7, all_pooled14 = [], []
-        samples = []
-        for i in range(b):
-            s = sample_rois(prop_boxes[i], prop_valid[i], gt.boxes[i],
-                            gt.classes[i], gt.valid[i], rngs[b + i], c)
-            samples.append(s)
-            feats_i = [f[i] for f in feats[:4]]
-            all_pooled7.append(self._pool(feats_i, s.boxes,
-                                          c.box_pooler_resolution))
-            all_pooled14.append(self._pool(feats_i, s.boxes,
-                                           c.mask_pooler_resolution))
-        pooled7 = jnp.concatenate(all_pooled7)
-        pooled14 = jnp.concatenate(all_pooled14)
-        boxes_all = jnp.concatenate([s.boxes for s in samples])
-        valid_all = jnp.concatenate([s.valid for s in samples])
-        is_pos_all = jnp.concatenate([s.is_pos for s in samples])
-        cls_all = jnp.concatenate([s.gt_class for s in samples])
-        matched_all = jnp.concatenate([s.matched_gt for s in samples])
-        matched_boxes = jnp.concatenate(
-            [gt.boxes[i][samples[i].matched_gt] for i in range(b)])
+        # --- ROI sampling (vmapped) + heads on the folded (B*R, ...) batch ---
+        samples = jax.vmap(
+            lambda pbi, pvi, gb, gc, gv, r: sample_rois(
+                pbi, pvi, gb, gc, gv, r, c))(
+            pb, pv, gt.boxes, gt.classes, gt.valid, rngs[b:])
+        feats4 = list(feats[:4])
+        pooled7 = multilevel_roi_align_batched(
+            feats4, samples.boxes, c.box_pooler_resolution, STRIDES)
+        pooled14 = multilevel_roi_align_batched(
+            feats4, samples.boxes, c.mask_pooler_resolution, STRIDES)
+        rr = samples.boxes.shape[1]
+        pooled7 = pooled7.reshape((b * rr,) + pooled7.shape[2:])
+        pooled14 = pooled14.reshape((b * rr,) + pooled14.shape[2:])
+        boxes_all = samples.boxes.reshape(b * rr, 4)
+        valid_all = samples.valid.reshape(-1)
+        is_pos_all = samples.is_pos.reshape(-1)
+        cls_all = samples.gt_class.reshape(-1)
+        matched_all = samples.matched_gt.reshape(-1)
+        matched_boxes = jax.vmap(lambda gb, mg: gb[mg])(
+            gt.boxes, samples.matched_gt).reshape(b * rr, 4)
 
         cls_logits, box_deltas = self.box_head(pooled7)
 
@@ -215,14 +214,16 @@ class MaskRCNN(nn.Module):
         sel_mask = jnp.take_along_axis(
             mask_logits, jnp.clip(cls_all, 0, c.num_classes - 1)
             [:, None, None, None], -1)[..., 0]  # (N, 28, 28)
-        mask_targets = []
-        for i in range(b):
-            m = gt.masks[i].astype(jnp.float32).transpose(1, 2, 0)  # (H, W, M)
-            pooled_m = roi_align(m, samples[i].boxes, 28)            # (P, 28, 28, M)
-            tgt = jnp.take_along_axis(
-                pooled_m, samples[i].matched_gt[:, None, None, None], -1)[..., 0]
-            mask_targets.append(tgt)
-        mask_tgt = (jnp.concatenate(mask_targets) >= 0.5).astype(jnp.float32)
+        def _mask_targets(m, bx, mg):
+            mm = m.astype(jnp.float32).transpose(1, 2, 0)   # (H, W, M)
+            pooled_m = roi_align(mm, bx, 28)                # (R, 28, 28, M)
+            return jnp.take_along_axis(
+                pooled_m, mg[:, None, None, None], -1)[..., 0]
+
+        mask_tgt = jax.vmap(_mask_targets)(
+            gt.masks, samples.boxes, samples.matched_gt)
+        mask_tgt = (mask_tgt.reshape(b * rr, 28, 28) >= 0.5).astype(
+            jnp.float32)
         mask_bce = (mask_tgt * jax.nn.softplus(-sel_mask)
                     + (1 - mask_tgt) * jax.nn.softplus(sel_mask)).mean((1, 2))
         n_pos = jnp.maximum(is_pos_all.sum(), 1.0)
@@ -246,9 +247,7 @@ class MaskRCNN(nn.Module):
             fg_cls = cls_all[fg_rank]
             fg_boxes = boxes_all[fg_rank]
             fg_gt_boxes = matched_boxes[fg_rank]
-            img_of = jnp.concatenate([
-                jnp.full((samples[i].boxes.shape[0],), i, jnp.int32)
-                for i in range(b)])[fg_rank]
+            img_of = jnp.repeat(jnp.arange(b, dtype=jnp.int32), rr)[fg_rank]
             fg_matched = matched_all[fg_rank]
 
             if c.voxel_on:
@@ -278,54 +277,86 @@ class MaskRCNN(nn.Module):
     # ---------------------------------------------------------- inference
 
     def predict(self, images) -> Detections:
+        """Inference with a measured hybrid batching layout (v5e, batch 25):
+
+        - proposal selection / NMS / ROIAlign run per image in an unrolled
+          loop — each image's flattened FPN table (~13 MB bf16) stays
+          VMEM-resident for its gathers, and the independent unrolled NMS
+          chains schedule better than any batched form (vmap, one big
+          batched matrix, or lax.map were each ~15% slower end to end);
+        - the flax heads (box/mask/voxel/NOCS) run ONCE on the batch folded
+          into the leading axis — big MXU matmuls instead of 25 small ones.
+        """
         c = self.cfg
         b = images.shape[0]
         feats = self.backbone(self._normalise(images))
         objness, deltas = self.rpn_head(feats)
         anchors = self._anchors()
         slices = self._slices()
+        feats4 = list(feats[:4])
 
-        out = []
+        per_img = []
         for i in range(b):
-            pb, ps, pv = select_proposals(
+            pb_i, _, pv_i = select_proposals(
                 anchors, objness[i], deltas[i], slices,
                 (c.pad_height, c.pad_width), c.rpn_pre_nms_topk_test,
-                c.rpn_post_nms_topk_test, c.rpn_nms_thresh,
-                not c.fast_nms)
-            feats_i = [f[i] for f in feats[:4]]
-            pooled7 = self._pool(feats_i, pb, c.box_pooler_resolution)
-            cls_logits, box_deltas = self.box_head(pooled7)
-            probs = jax.nn.softmax(cls_logits)[:, :c.num_classes]  # (P, C)
-            boxes_c = decode_deltas(pb[:, None, :], box_deltas)    # (P, C, 4)
-            boxes_c = jnp.clip(
-                boxes_c,
-                jnp.zeros(4),
-                jnp.asarray([c.pad_width, c.pad_height,
-                             c.pad_width, c.pad_height], jnp.float32))
-            p, cc = probs.shape
-            flat_boxes = boxes_c.reshape(p * cc, 4)
-            flat_scores = probs.reshape(p * cc)
-            flat_cls = jnp.tile(jnp.arange(cc, dtype=jnp.int32), p)
-            flat_valid = jnp.logical_and(
-                jnp.repeat(pv, cc), flat_scores > c.score_thresh_test)
-            keep = batched_nms_mask(flat_boxes, flat_scores, flat_cls,
-                                    flat_valid, c.nms_thresh_test,
+                c.rpn_post_nms_topk_test, c.rpn_nms_thresh, not c.fast_nms)
+            pooled7_i = multilevel_roi_align(
+                [f[i] for f in feats4], pb_i, c.box_pooler_resolution,
+                STRIDES)
+            per_img.append((pb_i, pv_i, pooled7_i))
+        pb = jnp.stack([t[0] for t in per_img])
+        pv = jnp.stack([t[1] for t in per_img])
+        pooled7 = jnp.stack([t[2] for t in per_img])
+        p = pooled7.shape[1]
+        cls_logits, box_deltas = self.box_head(
+            pooled7.reshape((b * p,) + pooled7.shape[2:]))
+        cc = c.num_classes
+        probs = jax.nn.softmax(cls_logits)[:, :cc].reshape(b, p, cc)
+        box_deltas = box_deltas.reshape(b, p, cc, 4)
+        boxes_c = decode_deltas(pb[:, :, None, :], box_deltas)  # (B, P, C, 4)
+        boxes_c = jnp.clip(
+            boxes_c,
+            jnp.zeros(4),
+            jnp.asarray([c.pad_width, c.pad_height,
+                         c.pad_width, c.pad_height], jnp.float32))
+        flat_boxes = boxes_c.reshape(b, p * cc, 4)
+        flat_scores = probs.reshape(b, p * cc)
+        flat_cls = jnp.tile(jnp.arange(cc, dtype=jnp.int32), p)  # per image
+        flat_valid = jnp.logical_and(
+            jnp.repeat(pv, cc, axis=1), flat_scores > c.score_thresh_test)
+
+        finals = []
+        for i in range(b):
+            keep = batched_nms_mask(flat_boxes[i], flat_scores[i], flat_cls,
+                                    flat_valid[i], c.nms_thresh_test,
                                     not c.fast_nms)
-            idx, ok = top_k_by_score(jnp.where(keep, flat_scores, -jnp.inf),
-                                     keep, c.detections_per_image)
-            det_boxes = flat_boxes[idx]
-            det_scores = jnp.where(ok, flat_scores[idx], 0.0)
-            det_cls = flat_cls[idx]
+            idx, ok = top_k_by_score(
+                jnp.where(keep, flat_scores[i], -jnp.inf), keep,
+                c.detections_per_image)
+            det_boxes_i = flat_boxes[i][idx]
+            pooled14_i = multilevel_roi_align(
+                [f[i] for f in feats4], det_boxes_i,
+                c.mask_pooler_resolution, STRIDES)
+            finals.append((det_boxes_i,
+                           jnp.where(ok, flat_scores[i][idx], 0.0),
+                           flat_cls[idx], ok, pooled14_i))
+        det_boxes = jnp.stack([t[0] for t in finals])
+        det_scores = jnp.stack([t[1] for t in finals])
+        det_cls = jnp.stack([t[2] for t in finals])
+        ok = jnp.stack([t[3] for t in finals])
+        pooled14 = jnp.stack([t[4] for t in finals])
+        masks, voxels, nocs = self._dense_heads_pooled(
+            pooled14.reshape((-1,) + pooled14.shape[2:]), det_cls.reshape(-1))
+        d = det_boxes.shape[1]
+        return Detections(
+            det_boxes, det_scores, det_cls, ok,
+            masks.reshape((b, d) + masks.shape[1:]),
+            voxels.reshape((b, d) + voxels.shape[1:]),
+            nocs.reshape((b, d) + nocs.shape[1:]))
 
-            masks, voxels, nocs = self._dense_heads(feats_i, det_boxes,
-                                                    det_cls)
-            out.append(Detections(det_boxes, det_scores, det_cls, ok,
-                                  masks, voxels, nocs))
-        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *out)
-
-    def _dense_heads(self, feats_i, boxes, classes):
+    def _dense_heads_pooled(self, pooled14, classes):
         c = self.cfg
-        pooled14 = self._pool(feats_i, boxes, c.mask_pooler_resolution)
         mask_logits = self.mask_head(pooled14)
         masks = jax.nn.sigmoid(jnp.take_along_axis(
             mask_logits, jnp.clip(classes, 0, c.num_classes - 1)
@@ -333,7 +364,7 @@ class MaskRCNN(nn.Module):
         if c.voxel_on:
             voxels = jax.nn.sigmoid(self.voxel_head(pooled14))
         else:
-            voxels = jnp.zeros(boxes.shape[:1] + (32, 32, 32))
+            voxels = jnp.zeros(pooled14.shape[:1] + (32, 32, 32))
         if c.nocs_on:
             if c.nocs_use_bin_loss:
                 nocs = nocs_bins_to_values(self.nocs_head(pooled14),
@@ -341,21 +372,28 @@ class MaskRCNN(nn.Module):
             else:
                 nocs = self.nocs_head(pooled14)
         else:
-            nocs = jnp.zeros(boxes.shape[:1] + (28, 28, 3))
+            nocs = jnp.zeros(pooled14.shape[:1] + (28, 28, 3))
         return masks, voxels, nocs
 
     def predict_given_boxes(self, images, boxes, classes):
         """Voxel/NOCS/mask heads on externally supplied boxes
         (forward_with_given_boxes_voxnocs, `roi_heads.py:116-135`).
 
-        boxes: (B, D, 4); classes: (B, D).
+        boxes: (B, D, 4); classes: (B, D).  Pooling runs per image (VMEM-
+        resident tables); the heads run once on the folded (B*D, ...) batch.
         """
+        c = self.cfg
+        b, d = boxes.shape[:2]
         feats = self.backbone(self._normalise(images))
-        outs = []
-        for i in range(images.shape[0]):
-            feats_i = [f[i] for f in feats[:4]]
-            outs.append(self._dense_heads(feats_i, boxes[i], classes[i]))
-        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *outs)
+        pooled14 = jnp.stack([
+            multilevel_roi_align([f[i] for f in feats[:4]], boxes[i],
+                                 c.mask_pooler_resolution, STRIDES)
+            for i in range(b)])
+        masks, voxels, nocs = self._dense_heads_pooled(
+            pooled14.reshape((-1,) + pooled14.shape[2:]), classes.reshape(-1))
+        return (masks.reshape((b, d) + masks.shape[1:]),
+                voxels.reshape((b, d) + voxels.shape[1:]),
+                nocs.reshape((b, d) + nocs.shape[1:]))
 
 
 class SampledRois(NamedTuple):

@@ -17,7 +17,8 @@ import numpy as np
 from flax import linen as nn
 
 from mot3d_tpu.geometry.iou3d import box2d_iou_matrix
-from mot3d_tpu.ops.nms import batched_nms_mask, top_k_by_score
+from mot3d_tpu.ops.nms import (batched_nms_mask, batched_nms_mask_batched,
+                               gather_rows, top_k_by_score)
 
 _CLAMP = float(np.log(1000.0 / 16))
 
@@ -234,3 +235,40 @@ def select_proposals(anchors: jax.Array, objectness: jax.Array,
     k = min(post_nms_topk, boxes.shape[0])
     idx, ok = top_k_by_score(jnp.where(keep, scores, -jnp.inf), keep, k)
     return boxes[idx], scores[idx], ok
+
+
+def select_proposals_batched(anchors: jax.Array, objectness: jax.Array,
+                             deltas: jax.Array, slices, image_hw,
+                             pre_nms_topk: int, post_nms_topk: int,
+                             nms_thresh: float, exact_nms: bool = True):
+    """Batch-native `select_proposals`: objectness (B, N), deltas (B, N, 4).
+
+    Same per-image semantics, but every index op stays a flat gather and
+    `lax.top_k` batches natively — a `jax.vmap` of the per-image version
+    lowers to batched gathers/scatters that TPU executes markedly slower.
+    Returns (boxes (B, P, 4), scores (B, P), valid (B, P))."""
+    bsz = objectness.shape[0]
+    cand_boxes, cand_scores, cand_lvls, cand_valid = [], [], [], []
+    for lvl, (s0, s1) in enumerate(slices):
+        n_l = s1 - s0
+        k = min(pre_nms_topk, n_l)
+        scores_l = objectness[:, s0:s1]
+        idx, ok = top_k_by_score(scores_l, jnp.ones((bsz, n_l), bool), k)
+        anchors_l = anchors[s0:s1][idx]          # unbatched operand: flat
+        deltas_l = gather_rows(deltas[:, s0:s1], idx)
+        cand_boxes.append(decode_deltas(anchors_l, deltas_l))
+        cand_scores.append(gather_rows(scores_l, idx))
+        cand_lvls.append(jnp.full((k,), lvl, jnp.int32))
+        cand_valid.append(ok)
+    boxes = clip_boxes(jnp.concatenate(cand_boxes, axis=1), *image_hw)
+    scores = jnp.concatenate(cand_scores, axis=1)
+    lvls = jnp.concatenate(cand_lvls)            # shared across the batch
+    valid = jnp.concatenate(cand_valid, axis=1)
+    wh_ok = jnp.logical_and(boxes[..., 2] > boxes[..., 0] + 1e-3,
+                            boxes[..., 3] > boxes[..., 1] + 1e-3)
+    valid = jnp.logical_and(valid, wh_ok)
+    keep = batched_nms_mask_batched(boxes, scores, lvls, valid, nms_thresh,
+                                    exact_nms)
+    k = min(post_nms_topk, boxes.shape[1])
+    idx, ok = top_k_by_score(jnp.where(keep, scores, -jnp.inf), keep, k)
+    return gather_rows(boxes, idx), gather_rows(scores, idx), ok

@@ -108,14 +108,52 @@ def multilevel_roi_align(features: Sequence[jax.Array], boxes: jax.Array,
     """
     c = features[0].shape[-1]
     dims = np.array([(f.shape[0], f.shape[1]) for f in features])
-    offsets = np.concatenate([[0], np.cumsum(dims[:, 0] * dims[:, 1])])
     flat = jnp.concatenate([f.reshape(-1, c) for f in features], axis=0)
+    base = jnp.zeros((boxes.shape[0],), jnp.int32)
+    return _flat_multilevel_roi_align(flat, dims, base, boxes, output_size,
+                                      strides, min_level, sampling_ratio)
 
-    lvl = assign_fpn_level(boxes, min_level, min_level + len(features) - 1)
+
+def multilevel_roi_align_batched(features: Sequence[jax.Array],
+                                 boxes: jax.Array, output_size: int,
+                                 strides: Sequence[int], min_level: int = 2,
+                                 sampling_ratio: int = 2) -> jax.Array:
+    """Batched multilevel ROIAlign: ONE flat gather for the whole batch.
+
+    features: list of (B, H_l, W_l, C); boxes: (B, N, 4) XYXY image coords.
+    Returns (B, N, output_size, output_size, C).
+
+    Wrapping the per-image version in `jax.vmap` gives a *batched* gather
+    (operand batch dims), which XLA lowers far less efficiently on TPU than
+    a plain flat gather (+50% detector latency measured at batch 25).  Here
+    the whole batch's pyramids are concatenated row-major into one
+    (B * sum_l H_l W_l, C) matrix and each box's indices get its image's
+    page offset — identical math, single flat gather."""
+    bsz, n = boxes.shape[:2]
+    c = features[0].shape[-1]
+    dims = np.array([(f.shape[1], f.shape[2]) for f in features])
+    page = int((dims[:, 0] * dims[:, 1]).sum())
+    flat = jnp.concatenate([f.reshape(bsz, -1, c) for f in features],
+                           axis=1).reshape(bsz * page, c)
+    base = jnp.repeat(jnp.arange(bsz, dtype=jnp.int32) * page, n)
+    out = _flat_multilevel_roi_align(flat, dims, base, boxes.reshape(-1, 4),
+                                     output_size, strides, min_level,
+                                     sampling_ratio)
+    return out.reshape((bsz, n) + out.shape[1:])
+
+
+def _flat_multilevel_roi_align(flat, dims, base, boxes, output_size, strides,
+                               min_level, sampling_ratio):
+    """Core: gather from a flattened pyramid `flat` (rows, C) with
+    per-box extra row offset `base` (N,)."""
+    c = flat.shape[-1]
+    offsets = np.concatenate([[0], np.cumsum(dims[:, 0] * dims[:, 1])])
+    n_levels = len(dims)
+    lvl = assign_fpn_level(boxes, min_level, min_level + n_levels - 1)
     li = lvl - min_level
     h_l = jnp.asarray(dims[:, 0])[li].astype(jnp.float32)   # (N,)
     w_l = jnp.asarray(dims[:, 1])[li].astype(jnp.float32)
-    off_l = jnp.asarray(offsets[:-1])[li]                   # (N,)
+    off_l = jnp.asarray(offsets[:-1])[li] + base            # (N,)
     stride_l = jnp.asarray(np.asarray(strides, np.float32))[li]
 
     out, s = output_size, sampling_ratio
