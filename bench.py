@@ -228,10 +228,21 @@ def main():
     def assemble_sequence(frames, probs, obj_ids):
         tracker = Tracker(tcfg)
         e = len(template.src_frame)
-        return tracker.assemble(template, np.asarray(probs)[:e],
-                                np.asarray(obj_ids), np.asarray(frames.valid),
-                                np.asarray(frames.translations),
+        # ONE device->host transfer for everything assembly needs: each
+        # separate np.asarray on a device array pays a full tunnel RTT
+        # (~10-40 ms); fetched together they share one round trip — and
+        # `start_fetch` below has usually already overlapped it with other
+        # sequences' device work.
+        probs, obj_ids, valid, trans = jax.device_get(
+            (probs, obj_ids, frames.valid, frames.translations))
+        return tracker.assemble(template, probs[:e], obj_ids, valid, trans,
                                 np.zeros((T, D), np.int32))
+
+    def start_fetch(frames, probs, obj_ids):
+        """Kick off the host copies assembly will need, without blocking."""
+        for a in (probs, obj_ids, frames.valid, frames.translations):
+            if hasattr(a, "copy_to_host_async"):
+                a.copy_to_host_async()
 
     log("compiling pose+track ...")
     t0 = time.time()
@@ -278,6 +289,8 @@ def main():
     # Launch all device work asynchronously, then drain + host-assemble.
     t0 = time.time()
     pending = [run_sequence(s + 1) for s in range(num_seqs)]
+    for p in pending:
+        start_fetch(*p)
     results = [assemble_sequence(*p) for p in pending]
     dt = time.time() - t0
     del results

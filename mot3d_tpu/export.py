@@ -46,6 +46,26 @@ class DetectorExporter:
                 de, cp, self.intrinsics, b3, b2, m),
             in_axes=(None, None, 0, 0, 0)))
 
+        def _metrics_fn(det_boxes, det_voxels, rotations, translations,
+                        gt_boxes, gt_valid, gt_voxels, gt_rotations,
+                        gt_locations):
+            """Per-detection-slot metric vectors vs the best-2D-IoU GT.
+
+            One program for ALL slots (`inference_detector.py:266-298` runs
+            this matching per detection on the host; per-object device
+            dispatches each pay a full tunnel RTT here)."""
+            from mot3d_tpu.geometry.iou3d import box2d_iou_matrix
+            iou2 = box2d_iou_matrix(det_boxes, gt_boxes)        # (D, M)
+            iou2 = jnp.where(gt_valid[None, :], iou2, -jnp.inf)
+            gi = jnp.argmax(iou2, axis=1)                       # (D,)
+            viou = jax.vmap(voxel_iou)(det_voxels, gt_voxels[gi])
+            rot = rotation_error_deg(euler_to_rotmat(rotations),
+                                     euler_to_rotmat(gt_rotations[gi]))
+            loc = location_error(translations, gt_locations[gi])
+            return gi, viou, rot, loc
+
+        self._metrics = jax.jit(_metrics_fn)
+
     # ------------------------------------------------------------------
     def export_frame(self, sample: DetectionSample, out_path: Optional[str],
                      rng, oracle: bool = False,
@@ -82,6 +102,17 @@ class DetectorExporter:
                            jnp.asarray(sample.depth),
                            jnp.asarray(sample.campose), cropped, rng)
 
+        # All metric math runs on device in ONE dispatch, then everything
+        # the host needs arrives in ONE device_get (each separate transfer
+        # over the tunnel pays a ~10-40 ms round trip).
+        _, viou, rot_e, loc_e = self._metrics(
+            dets.boxes[0], dets.voxels[0], frame.rotations,
+            frame.translations, jnp.asarray(sample.boxes),
+            jnp.asarray(sample.valid), jnp.asarray(sample.voxels),
+            jnp.asarray(sample.rotations), jnp.asarray(sample.locations))
+        frame, cropped, det_classes, viou, rot_e, loc_e = jax.device_get(
+            (frame, cropped, dets.classes[0], viou, rot_e, loc_e))
+
         keep = np.asarray(frame.valid)
         n = int(keep.sum())
         g = int(sample.valid.sum())
@@ -90,24 +121,13 @@ class DetectorExporter:
         metrics: Dict[str, list] = {"voxel_iou": [], "rot_err": [],
                                     "loc_err": [], "classes": []}
         if n and g:
-            # Match each kept detection to its best-2D-IoU GT for metrics
+            # Each kept detection scored vs its best-2D-IoU GT
             # (`inference_detector.py:266-298`).
-            from mot3d_tpu.geometry.iou3d import box2d_iou_matrix
-            iou2 = np.asarray(box2d_iou_matrix(
-                jnp.asarray(dets.boxes[0]), jnp.asarray(sample.boxes)))
             for i in order:
-                gi = int(np.argmax(iou2[i][:g]))
-                metrics["classes"].append(int(np.asarray(dets.classes[0])[i]))
-                metrics["voxel_iou"].append(float(voxel_iou(
-                    jnp.asarray(dets.voxels[0][i]),
-                    jnp.asarray(sample.voxels[gi]))))
-                pred_rot = euler_to_rotmat(jnp.asarray(frame.rotations[i]))
-                gt_rot = euler_to_rotmat(jnp.asarray(sample.rotations[gi]))
-                metrics["rot_err"].append(float(rotation_error_deg(
-                    pred_rot, gt_rot)))
-                metrics["loc_err"].append(float(location_error(
-                    jnp.asarray(frame.translations[i]),
-                    jnp.asarray(sample.locations[gi]))))
+                metrics["classes"].append(int(det_classes[i]))
+                metrics["voxel_iou"].append(float(viou[i]))
+                metrics["rot_err"].append(float(rot_e[i]))
+                metrics["loc_err"].append(float(loc_e[i]))
 
         if out_path is not None:
             write_frame_h5(out_path, FrameDetections(

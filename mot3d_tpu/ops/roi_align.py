@@ -85,6 +85,80 @@ def roi_align(feature: jax.Array, boxes: jax.Array, output_size: int,
     return acc.mean(axis=(2, 4))
 
 
+def _separable_roi_weights(lo: jax.Array, hi: jax.Array, out: int, s: int,
+                           size) -> jax.Array:
+    """Combined ROIAlignV2 interpolation weights for one axis.
+
+    ROIAlign is linear in the feature map and separable per axis: the mean
+    over the `s` subsamples of a bin and the two bilinear corners collapse
+    into ONE dense weight matrix W with
+        pooled[n, i] = sum_y W[n, i, y] * F[n, y]
+    lo/hi: (N,) box extent in level coords (already offset by -0.5);
+    returns (N, out, size).
+    """
+    n = lo.shape[0]
+    cell = (jnp.arange(out)[:, None]
+            + (jnp.arange(s)[None, :] + 0.5) / s)               # (out, s)
+    bin_sz = (hi - lo) / out
+    pos = lo[:, None, None] + cell[None] * bin_sz[:, None, None]  # (N,out,s)
+    i0, i1, w0, w1 = _bilinear_weights(pos, size)
+    iota = jnp.arange(int(np.max(size)) if np.ndim(size) else int(size))
+    oh0 = (i0[..., None] == iota).astype(w0.dtype) * w0[..., None]
+    oh1 = (i1[..., None] == iota).astype(w1.dtype) * w1[..., None]
+    return (oh0 + oh1).sum(axis=2) / s                          # (N,out,size)
+
+
+def multilevel_roi_align_mm(features: Sequence[jax.Array], boxes: jax.Array,
+                            output_size: int, strides: Sequence[int],
+                            min_level: int = 2,
+                            sampling_ratio: int = 2) -> jax.Array:
+    """Matmul formulation of `multilevel_roi_align` (identical semantics).
+
+    The gather formulation moves ~(N * (out*s)^2 * 4 * C) feature elements
+    through random HBM gathers — measured at ~80 ms of the 126 ms batch-25
+    detector forward on v5e.  ROIAlign is linear and separable, so each
+    box's pooled patch is exactly
+        Ry[n] (out, H_l) @ F_l (H_l, W_l, C) @ Rx[n]^T (W_l, out)
+    two MXU matmuls against dense per-axis weight matrices.  Every box is
+    pooled at EVERY level (the geometric level sizes make this only ~1.33x
+    the single-level FLOPs) and the per-box FPN level picks the result —
+    data-dependent level assignment with static shapes and no gathers.
+    """
+    n = boxes.shape[0]
+    n_levels = len(features)
+    li = assign_fpn_level(boxes, min_level, min_level + n_levels - 1) \
+        - min_level                                              # (N,)
+    out = output_size
+    pooled_per_level = []
+    for l, (f, stride) in enumerate(zip(features, strides)):
+        h, w, _ = f.shape
+        b = boxes / float(stride) - 0.5
+        ry = _separable_roi_weights(b[:, 1], b[:, 3], out, sampling_ratio, h)
+        rx = _separable_roi_weights(b[:, 0], b[:, 2], out, sampling_ratio, w)
+        t1 = jnp.einsum("nph,hwc->npwc", ry.astype(f.dtype), f)
+        pooled_per_level.append(
+            jnp.einsum("npwc,nqw->npqc", t1, rx.astype(f.dtype)))
+    sel = jnp.stack(pooled_per_level)                # (L, N, out, out, C)
+    onehot = (jnp.arange(n_levels)[:, None] == li[None, :]).astype(sel.dtype)
+    return jnp.einsum("ln,ln...->n...", onehot, sel)
+
+
+def multilevel_roi_align_batched_mm(features: Sequence[jax.Array],
+                                    boxes: jax.Array, output_size: int,
+                                    strides: Sequence[int],
+                                    min_level: int = 2,
+                                    sampling_ratio: int = 2) -> jax.Array:
+    """Batched matmul ROIAlign: vmap of `multilevel_roi_align_mm`.
+
+    features: list of (B, H_l, W_l, C); boxes (B, N, 4).  Unlike the gather
+    formulation (whose vmap lowers to slow batched gathers), a vmapped
+    einsum is just a batched matmul — native on the MXU."""
+    return jax.vmap(
+        lambda fs, bx: multilevel_roi_align_mm(
+            list(fs), bx, output_size, strides, min_level, sampling_ratio)
+    )(tuple(features), boxes)
+
+
 def assign_fpn_level(boxes: jax.Array, min_level: int = 2, max_level: int = 5,
                      canonical_size: float = 224.0,
                      canonical_level: int = 4) -> jax.Array:

@@ -138,10 +138,14 @@ class TrackingTrainer:
         per_class_acc: Dict[str, list] = {}
         for si, seq in enumerate(seqs):
             graph, probs, loss = self._forward_sequence(seq)
+            # One device->host fetch per sequence (separate np.asarray /
+            # float() calls each pay a device round trip).
+            probs, obj_ids, loss = jax.device_get(
+                (probs, graph.obj_ids, loss))
             losses.append(float(loss))
             pred = self.tracker.assemble(
-                self.template, np.asarray(probs)[:e],
-                np.asarray(graph.obj_ids), np.asarray(seq["det_valid"]),
+                self.template, probs[:e], obj_ids,
+                np.asarray(seq["det_valid"]),
                 np.asarray(seq["translations"]), np.asarray(seq["classes"]))
             gt = self.tracker.gt_trajectories(
                 np.asarray(seq["gt_ids"]), np.asarray(seq["gt_valid"]),

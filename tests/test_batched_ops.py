@@ -18,7 +18,9 @@ from mot3d_tpu.models.rpn import (generate_anchors, level_slices,
 from mot3d_tpu.ops.nms import (batched_nms_mask, batched_nms_mask_batched,
                                gather_rows, nms_mask, nms_mask_batched)
 from mot3d_tpu.ops.roi_align import (multilevel_roi_align,
-                                     multilevel_roi_align_batched)
+                                     multilevel_roi_align_batched,
+                                     multilevel_roi_align_batched_mm,
+                                     multilevel_roi_align_mm)
 
 STRIDES = (4, 8, 16, 32)
 
@@ -91,6 +93,48 @@ def test_multilevel_roi_align_batched_matches_per_image():
         want = multilevel_roi_align([f[i] for f in feats], boxes[i], 7,
                                     STRIDES)
         np.testing.assert_array_equal(np.asarray(got[i]), np.asarray(want))
+
+
+@pytest.mark.parametrize("out_size", [7, 14])
+def test_multilevel_roi_align_mm_matches_gather(out_size):
+    """The separable-matmul ROIAlign (the MXU path used by MaskRCNN) must
+    reproduce the gather formulation to float tolerance."""
+    rng = np.random.default_rng(5)
+    n, c = 23, 6
+    img_hw = (256, 320)
+    feats = [jnp.asarray(rng.normal(size=(
+        img_hw[0] // s, img_hw[1] // s, c)).astype(np.float32))
+        for s in STRIDES]
+    x0 = rng.uniform(0, 300, n)
+    y0 = rng.uniform(0, 240, n)
+    bw = rng.uniform(4, 220, n)
+    bh = rng.uniform(4, 220, n)
+    boxes = jnp.asarray(np.stack(
+        [x0, y0, np.minimum(x0 + bw, img_hw[1]),
+         np.minimum(y0 + bh, img_hw[0])], -1).astype(np.float32))
+    # Include a partially out-of-image box (zero-weight region semantics).
+    boxes = boxes.at[0].set(jnp.asarray([-8.0, -4.0, 30.0, 22.0]))
+    want = multilevel_roi_align(feats, boxes, out_size, STRIDES)
+    got = multilevel_roi_align_mm(feats, boxes, out_size, STRIDES)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=1e-4)
+
+
+def test_multilevel_roi_align_batched_mm_matches_per_image():
+    rng = np.random.default_rng(6)
+    b, n, c = 3, 9, 4
+    img_hw = (64, 80)
+    feats = [jnp.asarray(rng.normal(size=(
+        b, img_hw[0] // s, img_hw[1] // s, c)).astype(np.float32))
+        for s in STRIDES]
+    boxes = jnp.asarray(_random_boxes(rng, b, n, (float(img_hw[0]),
+                                                  float(img_hw[1]))))
+    got = multilevel_roi_align_batched_mm(feats, boxes, 7, STRIDES)
+    for i in range(b):
+        want = multilevel_roi_align_mm([f[i] for f in feats], boxes[i], 7,
+                                       STRIDES)
+        np.testing.assert_allclose(np.asarray(got[i]), np.asarray(want),
+                                   atol=1e-6)
 
 
 @pytest.mark.parametrize("exact", [True, False])
