@@ -24,7 +24,8 @@ import jax.numpy as jnp
 from mot3d_tpu.config import default_config
 from mot3d_tpu.models.mask_rcnn import STRIDES, MaskRCNN
 from mot3d_tpu.models.rpn import select_proposals
-from mot3d_tpu.ops.roi_align import multilevel_roi_align
+from mot3d_tpu.ops.roi_align import (multilevel_roi_align,
+                                     multilevel_roi_align_mm)
 
 T = 25
 
@@ -98,12 +99,61 @@ def main():
                 (m.cfg.pad_height, m.cfg.pad_width),
                 m.cfg.rpn_pre_nms_topk_test, m.cfg.rpn_post_nms_topk_test,
                 m.cfg.rpn_nms_thresh, not m.cfg.fast_nms)
-            acc = acc + jnp.sum(multilevel_roi_align(
+            acc = acc + jnp.sum(multilevel_roi_align_mm(
                 [f[i] for f in feats[:4]], pb,
                 m.cfg.box_pooler_resolution, STRIDES))
         return acc
 
     timed("+ROIAlign pooled7", to_pool)
+
+    def up_to_boxhead(m, x):
+        feats = m.backbone(m._normalise(x))
+        objness, deltas = m.rpn_head(feats)
+        anchors, slices = m._anchors(), m._slices()
+        acc = 0.0
+        for i in range(T):
+            pb, _, pv = select_proposals(
+                anchors, objness[i], deltas[i], slices,
+                (m.cfg.pad_height, m.cfg.pad_width),
+                m.cfg.rpn_pre_nms_topk_test, m.cfg.rpn_post_nms_topk_test,
+                m.cfg.rpn_nms_thresh, not m.cfg.fast_nms)
+            pooled = multilevel_roi_align_mm(
+                [f[i] for f in feats[:4]], pb,
+                m.cfg.box_pooler_resolution, STRIDES)
+            cls_logits, box_deltas = m.box_head(pooled)
+            acc = acc + jnp.sum(cls_logits) + jnp.sum(box_deltas)
+        return acc
+
+    timed("+box head", up_to_boxhead)
+
+    # Dense heads alone on the folded final-detection batch.
+    d = dcfg.detections_per_image
+    pooled14 = [jnp.asarray(
+        np.random.default_rng(9 + k).normal(size=(T * d, 14, 14, 256)),
+        jnp.bfloat16) for k in (0, 1)]
+    classes = jnp.zeros((T * d,), jnp.int32)
+
+    def timed_heads(name, method):
+        fn = jax.jit(lambda p, pl: model.apply(p, pl, method=method))
+        _ = float(fn(params, pooled14[0]))
+        t0 = time.perf_counter()
+        _ = float(fn(params, pooled14[1]))
+        dt = time.perf_counter() - t0
+        print(f"{name:>28}: {dt * 1e3:7.1f} ms  "
+              f"(net {max(dt - rtt, 0) * 1e3:6.1f} ms)",
+              file=sys.stderr, flush=True)
+
+    def scalar1(x):
+        return jnp.sum(x.astype(jnp.float32))
+
+    timed_heads("mask head (400 rois)",
+                lambda m, pl: scalar1(m.mask_head(pl)))
+    if dcfg.voxel_on:
+        timed_heads("voxel head (400 rois)",
+                    lambda m, pl: scalar1(m.voxel_head(pl)))
+    if dcfg.nocs_on:
+        timed_heads("nocs head (400 rois)",
+                    lambda m, pl: scalar1(m.nocs_head(pl)))
 
 
 if __name__ == "__main__":
