@@ -2,7 +2,13 @@
 synthetic object -> depth render-ish -> backproject -> outlier removal ->
 RANSAC Umeyama -> world box -> 3D IoU vs GT. This is the reference's
 run_pose flow (PoseEst/pose_estimation.py:245-412) expressed via the package."""
-import numpy as np, jax, jax.numpy as jnp
+import numpy as np
+
+from mot3d_tpu.runtime import enable_compilation_cache
+
+enable_compilation_cache()
+
+import jax, jax.numpy as jnp
 print("devices:", jax.devices())
 
 from mot3d_tpu.config import default_config

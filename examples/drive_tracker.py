@@ -9,6 +9,11 @@ Run: PYTHONPATH=/root/repo:$PYTHONPATH python examples/drive_tracker.py
 
 import tempfile, os
 import numpy as np
+
+from mot3d_tpu.runtime import enable_compilation_cache
+
+enable_compilation_cache()
+
 import jax
 import jax.numpy as jnp
 
@@ -65,10 +70,10 @@ def forward(params, p):
     return graph, jax.nn.sigmoid(logits[-1]), loss
 
 jp = {k: jnp.array(v) for k, v in padded.items()}
-params = model.init(jax.random.PRNGKey(0),
-                    jp["voxels"].reshape(-1, 32, 32, 32),
-                    jnp.zeros(10, jnp.int32), jnp.zeros(10, jnp.int32),
-                    jnp.zeros((10, 8)), jnp.zeros(10, bool))
+params = jax.jit(lambda k: model.init(
+    k, jp["voxels"].reshape(-1, 32, 32, 32),
+    jnp.zeros(10, jnp.int32), jnp.zeros(10, jnp.int32),
+    jnp.zeros((10, 8)), jnp.zeros(10, bool)))(jax.random.PRNGKey(0))
 graph, probs, loss = forward(params, jp)
 e = len(template.src_frame)
 print("graph: %d/%d valid edges, %d FPs, loss %.3f" % (

@@ -56,6 +56,12 @@ class PoseConfig:
     outlier_std_ratio: float = 2.0
     # Skip outlier removal below this many points (`pose_estimation.py:311,341`).
     outlier_min_points: int = 100
+    # Neighbour-candidate subset for the kNN statistic: each point searches an
+    # evenly strided subset of this many columns (nb_neighbors scaled by the
+    # same fraction).  0 = all points (open3d-exact candidate set).  256 cuts
+    # the pose stage's dominant cost ~4x on v5e with a near-identical kept
+    # set (see geometry/outlier.py docstring).
+    outlier_candidates: int = 256
     # clean_depth keeps cleaned points only if >20 remain (`pose_estimation.py:296`).
     clean_depth_min_points: int = 20
     # Fixed-size point buffer per object (padding cap; TPU static shapes).

@@ -143,10 +143,12 @@ def pose_from_points(depth_pts, nocs_vals, bval, campose, key, cfg: Config,
 
     # Outlier removal: depth cloud, then NOCS cloud (:310-349).
     keep = statistical_outlier_mask(depth_pts, bval, p.outlier_nb_neighbors,
-                                    p.outlier_std_ratio, p.outlier_min_points)
+                                    p.outlier_std_ratio, p.outlier_min_points,
+                                    candidates=p.outlier_candidates)
     nocs_pts = nocs_vals - 0.5
     keep = statistical_outlier_mask(nocs_pts, keep, p.outlier_nb_neighbors,
-                                    p.outlier_std_ratio, p.outlier_min_points)
+                                    p.outlier_std_ratio, p.outlier_min_points,
+                                    candidates=p.outlier_candidates)
 
     if not p.differentiable:
         nocs_pts = jax.lax.stop_gradient(nocs_pts)

@@ -87,6 +87,28 @@ class TestOutlier:
             jnp.array(pts), jnp.array(valid), min_points=100))
         assert keep.all()
 
+    def test_candidate_subset_tracks_full(self):
+        # The pipeline's hot configuration: 1024-point buffer, strided
+        # 256-candidate kNN.  The kept set must agree with the full pass on
+        # all clear inliers/outliers (the statistic is a scaled estimate, so
+        # only borderline points may flip).
+        cluster = RNG.normal(size=(900, 3)).astype(np.float32) * 0.1
+        outliers = RNG.normal(size=(24, 3)).astype(np.float32) * 0.1
+        outliers += np.sign(outliers) * 4.0  # push well outside the cluster
+        pad = np.zeros((100, 3), np.float32)
+        pts = np.concatenate([cluster, outliers, pad])
+        valid = np.concatenate([np.ones(924, bool), np.zeros(100, bool)])
+        full = np.asarray(statistical_outlier_mask(
+            jnp.array(pts), jnp.array(valid), min_points=10, approx=False))
+        sub = np.asarray(statistical_outlier_mask(
+            jnp.array(pts), jnp.array(valid), min_points=10, approx=False,
+            candidates=256))
+        assert not sub[924:].any()
+        assert not sub[900:924].any()          # outliers still removed
+        assert sub[:900].mean() > 0.95         # inliers still kept
+        agree = (full[:924] == sub[:924]).mean()
+        assert agree > 0.97, agree
+
     def test_padding_ignored(self):
         cluster = RNG.normal(size=(150, 3)).astype(np.float32) * 0.1
         pad = np.full((50, 3), 1e6, np.float32)
