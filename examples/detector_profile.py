@@ -25,7 +25,7 @@ from mot3d_tpu.config import default_config
 from mot3d_tpu.models.mask_rcnn import STRIDES, MaskRCNN
 from mot3d_tpu.models.rpn import select_proposals
 from mot3d_tpu.ops.roi_align import (multilevel_roi_align,
-                                     multilevel_roi_align_mm)
+                                     multilevel_roi_align_packed)
 
 T = 25
 
@@ -99,7 +99,7 @@ def main():
                 (m.cfg.pad_height, m.cfg.pad_width),
                 m.cfg.rpn_pre_nms_topk_test, m.cfg.rpn_post_nms_topk_test,
                 m.cfg.rpn_nms_thresh, not m.cfg.fast_nms)
-            acc = acc + jnp.sum(multilevel_roi_align_mm(
+            acc = acc + jnp.sum(multilevel_roi_align_packed(
                 [f[i] for f in feats[:4]], pb,
                 m.cfg.box_pooler_resolution, STRIDES))
         return acc
@@ -117,7 +117,7 @@ def main():
                 (m.cfg.pad_height, m.cfg.pad_width),
                 m.cfg.rpn_pre_nms_topk_test, m.cfg.rpn_post_nms_topk_test,
                 m.cfg.rpn_nms_thresh, not m.cfg.fast_nms)
-            pooled = multilevel_roi_align_mm(
+            pooled = multilevel_roi_align_packed(
                 [f[i] for f in feats[:4]], pb,
                 m.cfg.box_pooler_resolution, STRIDES)
             cls_logits, box_deltas = m.box_head(pooled)

@@ -6,10 +6,12 @@ Re-design of the reference's detectron2 GeneralizedRCNN + VoxelNocsHeads
 
   - every stage is padded to config maxima (proposals, sampled ROIs,
     detections) with validity masks — no dynamic instance counts anywhere;
-  - ROIAlign runs as separable per-box weight MATMULS against each FPN
-    level (ops/roi_align.py `multilevel_roi_align_mm` — MXU work instead of
-    HBM gathers; measured 7x over the flattened-pyramid gather at batch 25),
-    NMS is the suppression-matrix scan (ops/nms.py);
+  - ROIAlign runs as separable per-box weight MATMULS against the packed
+    FPN pyramid (ops/roi_align.py `multilevel_roi_align_packed` — MXU work
+    instead of HBM gathers, level-select folded into the one-hot weights;
+    measured 7x over the flattened-pyramid gather and 1.5x over the
+    per-level matmul form at batch 25), NMS is the suppression-matrix scan
+    (ops/nms.py);
   - mask targets use the channels-trick: all GT masks of an image are pooled
     at once as channels of a single ROIAlign, then the matched one is
     selected — no per-instance Python loop;
@@ -45,8 +47,8 @@ from mot3d_tpu.models.rpn import (RPNHead, decode_deltas, encode_deltas,
 from mot3d_tpu.models.voxel_head import Pix2VoxDecoder, voxel_loss
 from mot3d_tpu.ops.nms import (batched_nms_mask, gather_rows,
                                top_k_by_score)
-from mot3d_tpu.ops.roi_align import (multilevel_roi_align_batched_mm,
-                                     multilevel_roi_align_mm, roi_align)
+from mot3d_tpu.ops.roi_align import (multilevel_roi_align_batched_packed,
+                                     multilevel_roi_align_packed, roi_align)
 
 STRIDES = (4, 8, 16, 32)          # P2..P5 (ROI pooling levels)
 RPN_STRIDES = (4, 8, 16, 32, 64)  # + P6 for proposals
@@ -178,9 +180,9 @@ class MaskRCNN(nn.Module):
                 pbi, pvi, gb, gc, gv, r, c))(
             pb, pv, gt.boxes, gt.classes, gt.valid, rngs[b:])
         feats4 = list(feats[:4])
-        pooled7 = multilevel_roi_align_batched_mm(
+        pooled7 = multilevel_roi_align_batched_packed(
             feats4, samples.boxes, c.box_pooler_resolution, STRIDES)
-        pooled14 = multilevel_roi_align_batched_mm(
+        pooled14 = multilevel_roi_align_batched_packed(
             feats4, samples.boxes, c.mask_pooler_resolution, STRIDES)
         rr = samples.boxes.shape[1]
         pooled7 = pooled7.reshape((b * rr,) + pooled7.shape[2:])
@@ -302,7 +304,7 @@ class MaskRCNN(nn.Module):
                 anchors, objness[i], deltas[i], slices,
                 (c.pad_height, c.pad_width), c.rpn_pre_nms_topk_test,
                 c.rpn_post_nms_topk_test, c.rpn_nms_thresh, not c.fast_nms)
-            pooled7_i = multilevel_roi_align_mm(
+            pooled7_i = multilevel_roi_align_packed(
                 [f[i] for f in feats4], pb_i, c.box_pooler_resolution,
                 STRIDES)
             per_img.append((pb_i, pv_i, pooled7_i))
@@ -336,7 +338,7 @@ class MaskRCNN(nn.Module):
                 jnp.where(keep, flat_scores[i], -jnp.inf), keep,
                 c.detections_per_image)
             det_boxes_i = flat_boxes[i][idx]
-            pooled14_i = multilevel_roi_align_mm(
+            pooled14_i = multilevel_roi_align_packed(
                 [f[i] for f in feats4], det_boxes_i,
                 c.mask_pooler_resolution, STRIDES)
             finals.append((det_boxes_i,
@@ -387,7 +389,7 @@ class MaskRCNN(nn.Module):
         b, d = boxes.shape[:2]
         feats = self.backbone(self._normalise(images))
         pooled14 = jnp.stack([
-            multilevel_roi_align_mm([f[i] for f in feats[:4]], boxes[i],
+            multilevel_roi_align_packed([f[i] for f in feats[:4]], boxes[i],
                                  c.mask_pooler_resolution, STRIDES)
             for i in range(b)])
         masks, voxels, nocs = self._dense_heads_pooled(

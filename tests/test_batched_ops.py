@@ -20,7 +20,9 @@ from mot3d_tpu.ops.nms import (batched_nms_mask, batched_nms_mask_batched,
 from mot3d_tpu.ops.roi_align import (multilevel_roi_align,
                                      multilevel_roi_align_batched,
                                      multilevel_roi_align_batched_mm,
-                                     multilevel_roi_align_mm)
+                                     multilevel_roi_align_batched_packed,
+                                     multilevel_roi_align_mm,
+                                     multilevel_roi_align_packed)
 
 STRIDES = (4, 8, 16, 32)
 
@@ -118,6 +120,53 @@ def test_multilevel_roi_align_mm_matches_gather(out_size):
     got = multilevel_roi_align_mm(feats, boxes, out_size, STRIDES)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=3e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("out_size", [7, 14])
+def test_multilevel_roi_align_packed_matches_gather(out_size):
+    """The packed-pyramid matmul ROIAlign (the production MaskRCNN pooler)
+    must reproduce the gather formulation: same bilinear semantics, level
+    assignment folded into the packed one-hot weights."""
+    rng = np.random.default_rng(7)
+    n, c = 31, 6
+    img_hw = (256, 320)
+    feats = [jnp.asarray(rng.normal(size=(
+        img_hw[0] // s, img_hw[1] // s, c)).astype(np.float32))
+        for s in STRIDES]
+    x0 = rng.uniform(0, 300, n)
+    y0 = rng.uniform(0, 240, n)
+    bw = rng.uniform(4, 220, n)
+    bh = rng.uniform(4, 220, n)
+    boxes = np.stack(
+        [x0, y0, np.minimum(x0 + bw, img_hw[1]),
+         np.minimum(y0 + bh, img_hw[0])], -1).astype(np.float32)
+    # Partially out-of-image (zero-weight region), a whole-image level-5
+    # box, and a degenerate tiny box.
+    boxes[0] = [-8.0, -4.0, 30.0, 22.0]
+    boxes[1] = [0.0, 0.0, 320.0, 256.0]
+    boxes[2] = [50.0, 50.0, 50.5, 50.5]
+    boxes = jnp.asarray(boxes)
+    want = multilevel_roi_align(feats, boxes, out_size, STRIDES)
+    got = multilevel_roi_align_packed(feats, boxes, out_size, STRIDES)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=1e-4)
+
+
+def test_multilevel_roi_align_batched_packed_matches_per_image():
+    rng = np.random.default_rng(8)
+    b, n, c = 3, 9, 4
+    img_hw = (64, 80)
+    feats = [jnp.asarray(rng.normal(size=(
+        b, img_hw[0] // s, img_hw[1] // s, c)).astype(np.float32))
+        for s in STRIDES]
+    boxes = jnp.asarray(_random_boxes(rng, b, n, (float(img_hw[0]),
+                                                  float(img_hw[1]))))
+    got = multilevel_roi_align_batched_packed(feats, boxes, 7, STRIDES)
+    for i in range(b):
+        want = multilevel_roi_align_packed([f[i] for f in feats], boxes[i],
+                                           7, STRIDES)
+        np.testing.assert_allclose(np.asarray(got[i]), np.asarray(want),
+                                   atol=1e-6)
 
 
 def test_multilevel_roi_align_batched_mm_matches_per_image():
