@@ -67,7 +67,8 @@ def main():
                                    jnp.float32),
         )
 
-    ins = [inputs(0), inputs(1)]
+    REPS = 5
+    ins = [inputs(i) for i in range(REPS + 1)]
     # Boxes must be well-formed (x1<x2, y1<y2).
     for d in ins:
         lo = jnp.minimum(d["boxes"][..., :2], d["boxes"][..., 2:])
@@ -77,8 +78,9 @@ def main():
     triv = jax.jit(lambda x: x.sum())
     _ = float(triv(ins[0]["depth"]))
     t0 = time.perf_counter()
-    _ = float(triv(ins[1]["depth"]))
-    rtt = time.perf_counter() - t0
+    for i in range(1, REPS + 1):
+        _ = float(triv(ins[i]["depth"]))
+    rtt = (time.perf_counter() - t0) / REPS
     print(f"{'trivial RTT':>20}: {rtt * 1e3:7.1f} ms", file=sys.stderr,
           flush=True)
 
@@ -113,14 +115,66 @@ def main():
         jnp.zeros(e2, bool)))(jax.random.PRNGKey(1))
 
     def timed(name, fn):
+        """Average over REPS distinct inputs (single-shot tunnel timings
+        vary by +-20 ms; distinct inputs defeat the relay dedup)."""
         jfn = jax.jit(fn)
         _ = float(jfn(ins[0], jax.random.PRNGKey(0)))
         t0 = time.perf_counter()
-        _ = float(jfn(ins[1], jax.random.PRNGKey(1)))
-        dt = time.perf_counter() - t0
+        for i in range(1, REPS + 1):
+            _ = float(jfn(ins[i], jax.random.PRNGKey(i)))
+        dt = (time.perf_counter() - t0) / REPS
         print(f"{name:>20}: {dt * 1e3:7.1f} ms  "
               f"(net {max(dt - rtt, 0) * 1e3:6.1f} ms)",
               file=sys.stderr, flush=True)
+
+    # --- sub-stages of the per-detection pose path (T*D = 400 dets) -----
+    from mot3d_tpu.geometry.outlier import statistical_outlier_mask
+    from mot3d_tpu.geometry.umeyama import estimate_similarity_transform
+    from mot3d_tpu.pose.extraction import grid_extract
+    from mot3d_tpu.geometry.backproject import make_intrinsics as _mk
+
+    g = int(round(cfg.pose.max_points ** 0.5))
+
+    def extract_all(d, _k):
+        def one(nc, ma, bx, de):
+            return grid_extract(nc, ma, bx, de, intrinsics, grid=g)
+        buf, bval = jax.vmap(jax.vmap(one, in_axes=(0, 0, 0, None)))(
+            d["nocs"], d["masks"], d["boxes"], d["depth"])
+        return buf, bval
+
+    timed("  grid_extract(400)",
+          lambda d, k: scalar(extract_all(d, k)[0]))
+
+    def outliers_all(d, k):
+        buf, bval = extract_all(d, k)
+        p = cfg.pose
+        def one(b, v):
+            keep = statistical_outlier_mask(
+                b[:, :3], v, p.outlier_nb_neighbors, p.outlier_std_ratio,
+                p.outlier_min_points, candidates=p.outlier_candidates)
+            return statistical_outlier_mask(
+                b[:, 3:] - 0.5, keep, p.outlier_nb_neighbors,
+                p.outlier_std_ratio, p.outlier_min_points,
+                candidates=p.outlier_candidates)
+        keep = jax.vmap(jax.vmap(one))(buf, bval)
+        return buf, keep
+
+    timed("  +outliers x2",
+          lambda d, k: scalar(outliers_all(d, k)[1].astype(jnp.float32)))
+
+    def ransac_all(d, k):
+        buf, keep = outliers_all(d, k)
+        p = cfg.pose
+        keys = jax.random.split(k, T * D).reshape(T, D, -1)
+        def one(b, v, kk):
+            return estimate_similarity_transform(
+                b[:, 3:] - 0.5, b[:, :3], v, kk, p.ransac_iters,
+                p.ransac_sample_size, p.ratio_adapt, p.min_inlier_ratio,
+                p.stop_divisor, p.solver)
+        return jax.vmap(jax.vmap(one))(buf, keep, keys)
+
+    timed("  +ransac(100 hyp)",
+          lambda d, k: scalar(ransac_all(d, k)[:3]))
 
     timed("pose_chunk", lambda d, k: scalar(run_pose(d, k)))
     timed("+build_graph",

@@ -38,17 +38,113 @@ class SimilarityTransform(NamedTuple):
     valid: jax.Array        # () bool — solver succeeded
 
 
-def _kabsch_rotation_quat(cov: jax.Array, iters: int = 30) -> jax.Array:
+def _sym4_square(m):
+    """Square a symmetric 4x4 given as a 4x4 nested tuple of (...,) scalars.
+
+    Products of a symmetric matrix with itself stay symmetric, so only the
+    upper triangle is computed.  Scalar-expression form on purpose: inside
+    the vmapped RANSAC hot loop a (..., 4, 4) array pads each matrix to a
+    full (8, 128) TPU tile — ~256x wasted VPU/VMEM traffic across 40k
+    lanes, measured as the dominant pose-stage cost; (...,)-shaped lanes
+    are packed densely.
+    """
+    out = [[None] * 4 for _ in range(4)]
+    for i in range(4):
+        for j in range(i, 4):
+            out[i][j] = sum(m[i][k] * m[k][j] for k in range(4))
+            out[j][i] = out[i][j]
+    return out
+
+
+def _horn_rstar_scalars(c):
+    """Optimal source->target rotation r* from a 3x3 covariance, scalar form.
+
+    c: 3x3 nested list of (...,) covariance components (target x source,
+    as `umeyama_similarity` builds it).  Returns r* as a 3x3 nested list of
+    (...,) scalars.  Same algorithm as `_kabsch_rotation_quat` (Horn
+    quaternion via shifted repeated squaring), written entirely in scalar
+    expressions so every intermediate is a lane-packed (...,) array.
+    """
+    # s = cov.T (Horn's N is built from sum s t^T; ours is sum t s^T).
+    s = [[c[j][i] for j in range(3)] for i in range(3)]
+    tr = s[0][0] + s[1][1] + s[2][2]
+    shift = 2.0 * jnp.sqrt(sum(s[i][j] ** 2 for i in range(3)
+                               for j in range(3))) + 1e-12
+    m = [[tr + shift, s[1][2] - s[2][1], s[2][0] - s[0][2], s[0][1] - s[1][0]],
+         [None, s[0][0] - s[1][1] - s[2][2] + shift,
+          s[0][1] + s[1][0], s[2][0] + s[0][2]],
+         [None, None, s[1][1] - s[0][0] - s[2][2] + shift, s[1][2] + s[2][1]],
+         [None, None, None, s[2][2] - s[0][0] - s[1][1] + shift]]
+    for i in range(4):
+        for j in range(i):
+            m[i][j] = m[j][i]
+
+    # K^(2^6) by normalised squaring (== 64 power-iteration steps with
+    # sequential depth 6); Frobenius normalisation keeps f32 in range and
+    # leaves the top eigenvector unchanged.
+    for _ in range(6):
+        m = _sym4_square(m)
+        fro = jnp.sqrt(sum(m[i][j] ** 2 for i in range(4)
+                           for j in range(4)))
+        inv = 1.0 / jnp.maximum(fro, 1e-20)
+        m = [[m[i][j] * inv for j in range(4)] for i in range(4)]
+
+    # q = K^64 @ q0 (q0 = const), normalised -> unit quaternion.
+    q = [m[i][0] + m[i][1] + m[i][2] + m[i][3] for i in range(4)]
+    qn = 1.0 / jnp.maximum(jnp.sqrt(q[0] ** 2 + q[1] ** 2
+                                    + q[2] ** 2 + q[3] ** 2), 1e-20)
+    w, x, y, z = q[0] * qn, q[1] * qn, q[2] * qn, q[3] * qn
+    return [
+        [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+        [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+        [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+    ]
+
+
+def _umeyama_fit_scalars(sc, tc, w):
+    """Weighted Umeyama fit in scalar (structure-of-arrays) form.
+
+    sc, tc: 3-tuples of (..., P) source/target component arrays; w: (..., P)
+    0/1 weights.  Returns (scale (...,), r* 3x3 nested list of (...,),
+    translation 3-list of (...,)) — the same quantities as
+    `umeyama_similarity(method="quat")` without ever materialising a
+    (..., 3, 3) array (tile-padding economics: see `_sym4_square`).
+    """
+    n = jnp.maximum(w.sum(-1), 1e-12)
+    mus = [(x * w).sum(-1) / n for x in sc]
+    mut = [(x * w).sum(-1) / n for x in tc]
+    # One-sided masking (exact for 0/1 weights): ct_i = w * (t_i - mu_t_i).
+    cov = [[(((tc[i] - mut[i][..., None]) * w
+              * (sc[j] - mus[j][..., None])).sum(-1) / n)
+            for j in range(3)] for i in range(3)]
+    rstar = _horn_rstar_scalars(cov)
+    trace = sum(rstar[i][j] * cov[i][j] for i in range(3) for j in range(3))
+    var_s = sum(((sc[j] - mus[j][..., None]) ** 2 * w).sum(-1)
+                for j in range(3)) / n
+    degenerate = (var_s * trace) == 0.0
+    scale = jnp.where(degenerate, 1.0, trace / jnp.maximum(var_s, 1e-20))
+    # translation = mu_t - scale * (r* @ mu_s).
+    translation = [mut[j] - scale * sum(rstar[j][i] * mus[i]
+                                        for i in range(3))
+                   for j in range(3)]
+    return scale, rstar, translation
+
+
+def _kabsch_rotation_quat(cov: jax.Array, squarings: int = 6) -> jax.Array:
     """Optimal source->target rotation R* from a 3x3 covariance, via Horn's
-    quaternion method with fixed-iteration power iteration.
+    quaternion method with repeated matrix squaring.
 
     TPU-native alternative to jnp.linalg.svd: builds the symmetric 4x4
     matrix K(cov) whose largest-eigenvalue eigenvector is the optimal unit
-    quaternion, then runs `iters` power-iteration steps (pure batched
-    matmuls, MXU-friendly, differentiable, deterministic) after a trace
-    shift that makes the top eigenvalue dominant.  Handles the reflection
-    case by construction (always returns a proper rotation — the behaviour
-    the reference's sign-flip targets).
+    quaternion, then computes K^(2^squarings) q0 by `squarings` normalised
+    matrix squarings (equivalent to 2^squarings power-iteration steps but
+    with sequential depth 6 instead of 64 — the RANSAC hot loop runs this
+    over 40k vmapped lanes, where a deep fori_loop of tiny matvecs was the
+    pose stage's dominant cost) after a trace shift that makes the top
+    eigenvalue dominant in magnitude.  Normalising by the Frobenius norm
+    after each squaring keeps f32 in range; the eigenvector is unchanged.
+    Handles the reflection case by construction (always returns a proper
+    rotation — the behaviour the reference's sign-flip targets).
     """
     # Horn's N is built from M = sum s t^T; our covariance is sum t s^T.
     s = cov.T
@@ -68,14 +164,15 @@ def _kabsch_rotation_quat(cov: jax.Array, iters: int = 30) -> jax.Array:
     shift = 2.0 * jnp.sqrt((s * s).sum()) + 1e-12
     km = k + shift * jnp.eye(4)
 
-    # Accelerated power iteration by repeated squaring-ish: q <- normalise(Km^2 q).
-    q = jnp.full((4,), 0.5, cov.dtype)
+    # Repeated squaring: km <- (km @ km) / ||.||_F, unrolled (fuses into one
+    # kernel under vmap; a lax.fori_loop of matvecs forces a sequential XLA
+    # While with per-step launch overhead across the whole RANSAC batch).
+    for _ in range(squarings):
+        km = km @ km
+        km = km / jnp.maximum(jnp.sqrt((km * km).sum()), 1e-20)
 
-    def body(_, q):
-        q = km @ (km @ q)
-        return q / jnp.maximum(jnp.linalg.norm(q), 1e-20)
-
-    q = jax.lax.fori_loop(0, iters, body, q)
+    q = km @ jnp.full((4,), 0.5, cov.dtype)
+    q = q / jnp.maximum(jnp.linalg.norm(q), 1e-20)
     w, x, y, z = q[0], q[1], q[2], q[3]
     # Quaternion -> rotation matrix (source->target).
     r = jnp.array([
@@ -102,6 +199,19 @@ def umeyama_similarity(source: jax.Array, target: jax.Array,
     (jnp.linalg.svd, bit-closer to the reference's LAPACK path).
     """
     w = weights.astype(source.dtype)
+    if method == "quat":
+        sc = tuple(source[..., j] for j in range(3))
+        tc = tuple(target[..., j] for j in range(3))
+        scale, rstar, tr = _umeyama_fit_scalars(sc, tc, w)
+        # r* assembled once at the boundary; reference convention stores
+        # the transpose.
+        rotation = jnp.stack(
+            [jnp.stack([rstar[j][i] for j in range(3)], -1)
+             for i in range(3)], -2)
+        translation = jnp.stack(tr, -1)
+        return SimilarityTransform(scale, rotation, translation,
+                                   jnp.asarray(True))
+
     n = jnp.maximum(w.sum(), 1e-12)
     mu_s = (source * w[:, None]).sum(0) / n
     mu_t = (target * w[:, None]).sum(0) / n
@@ -111,18 +221,14 @@ def umeyama_similarity(source: jax.Array, target: jax.Array,
     ct = (target - mu_t) * w[:, None]
     cov = (ct.T @ (source - mu_s)) / n
 
-    if method == "svd":
-        u, d, vt = jnp.linalg.svd(cov, full_matrices=True)
-        neg = (jnp.linalg.det(u) * jnp.linalg.det(vt)) < 0.0
-        sign = jnp.where(neg, jnp.array([1.0, 1.0, -1.0], cov.dtype),
-                         jnp.ones(3, cov.dtype))
-        d = d * sign
-        u = u * sign[None, :]
-        r_star = u @ vt              # actual source->target rotation
-        trace = d.sum()
-    else:
-        r_star = _kabsch_rotation_quat(cov)
-        trace = (r_star * cov).sum()  # = trace(R*^T cov) = sum of D'
+    u, d, vt = jnp.linalg.svd(cov, full_matrices=True)
+    neg = (jnp.linalg.det(u) * jnp.linalg.det(vt)) < 0.0
+    sign = jnp.where(neg, jnp.array([1.0, 1.0, -1.0], cov.dtype),
+                     jnp.ones(3, cov.dtype))
+    d = d * sign
+    u = u * sign[None, :]
+    r_star = u @ vt              # actual source->target rotation
+    trace = d.sum()
 
     rotation = r_star.T  # reference convention stores the transpose
     var_s = ((source - mu_s) ** 2 * w[:, None]).sum() / n
@@ -183,25 +289,65 @@ def ransac_umeyama(source: jax.Array, target: jax.Array, valid: jax.Array,
     n_valid = jnp.maximum(valid.sum(), 1)
 
     # Draw iters x sample_size indices uniformly over the *valid* points:
-    # u in [0, n_valid) mapped through the sorted-valid-index table.
-    valid_idx_table = jnp.argsort(~valid)  # valid indices first, raster order
+    # u in [0, n_valid) mapped through a compaction table (valid indices
+    # first, raster order).  Built with cumsum + scatter rather than
+    # argsort(~valid): a full 1024-key sort per detection measured ~2x the
+    # cost of the entire hypothesis fit on v5e; slots >= n_valid are never
+    # drawn (u % n_valid), so dropping invalid entries is exact.
+    slot = jnp.where(valid, jnp.cumsum(valid) - 1, n)
+    valid_idx_table = jnp.zeros((n,), jnp.int32).at[slot].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
     u = jax.random.randint(key, (iters, sample_size), 0, jnp.iinfo(jnp.int32).max)
     draw = valid_idx_table[(u % n_valid).astype(jnp.int32)]
 
-    def fit(idx):
-        w = jnp.ones((sample_size,), source.dtype)
-        return umeyama_similarity(source[idx], target[idx], w, method)
+    if method == "quat":
+        # Scalar (structure-of-arrays) hot path: fits and residuals stay in
+        # (iters,)/(iters, N) component arrays — a (iters, 3, 3)-shaped
+        # pipeline pads every matrix to an (8, 128) TPU tile and measured
+        # ~3x the whole solver's ideal cost under the pose vmap.
+        s_pts = source[draw]                              # (iters, S, 3)
+        t_pts = target[draw]
+        sc = tuple(s_pts[..., j] for j in range(3))       # (iters, S) each
+        tc = tuple(t_pts[..., j] for j in range(3))
+        w = jnp.ones(draw.shape, source.dtype)
+        scale, rstar, trans = _umeyama_fit_scalars(sc, tc, w)
 
-    models = jax.vmap(fit)(draw)  # batched SimilarityTransform
+        # Residuals, component form: transformed_j = s sum_i p_i r*_ji + t_j
+        # (see apply_similarity).  Two passes: (1) per-hypothesis residual
+        # norms as one fused (iters, N) -> (iters,) reduction — the
+        # (iters, N) intermediate is never kept; (2) the per-point inlier
+        # test recomputed for the best hypothesis only ((N,) arrays).
+        px = [source[:, j] for j in range(3)]             # (N,)
 
-    def residual_of(scale, rot, trans):
-        t = SimilarityTransform(scale, rot, trans, jnp.asarray(True))
-        r = _model_residuals(t, source, target)
-        r = jnp.where(valid, r, 0.0)
-        return jnp.sqrt((r ** 2).sum()), r
+        def rsq_of(sc_h, rs_h, tr_h):
+            """sc_h (...,), rs_h 3x3 of (...,), tr_h 3 of (...,) broadcast
+            against the (N,) point components -> (..., N) residual^2."""
+            r = 0.0
+            for j in range(3):
+                tj = sc_h[..., None] * sum(
+                    rs_h[j][i][..., None] * px[i] for i in range(3)) \
+                    + tr_h[j][..., None]
+                r = r + (target[:, j] - tj) ** 2
+            return jnp.where(valid, r, 0.0)
 
-    model_res, point_res = jax.vmap(residual_of)(
-        models.scale, models.rotation, models.translation)
+        model_res = jnp.sqrt(rsq_of(scale, rstar, trans).sum(-1))  # (iters,)
+        pass_sq = jnp.square(pass_threshold)
+    else:
+        def fit(idx):
+            w = jnp.ones((sample_size,), source.dtype)
+            return umeyama_similarity(source[idx], target[idx], w, method)
+
+        models = jax.vmap(fit)(draw)  # batched SimilarityTransform
+
+        def residual_of(scale, rot, trans):
+            t = SimilarityTransform(scale, rot, trans, jnp.asarray(True))
+            r = _model_residuals(t, source, target)
+            r = jnp.where(valid, r, 0.0)
+            return jnp.sqrt((r ** 2).sum()), r ** 2
+
+        model_res, rsq_all = jax.vmap(residual_of)(
+            models.scale, models.rotation, models.translation)
+        pass_sq = jnp.square(pass_threshold)
 
     # Early-stop emulation: running best; k = first iter where best < stop.
     running_best = jax.lax.associative_scan(jnp.minimum, model_res)
@@ -212,7 +358,16 @@ def ransac_umeyama(source: jax.Array, target: jax.Array, valid: jax.Array,
     masked_res = jnp.where(considered, model_res, jnp.inf)
     best = jnp.argmin(masked_res)
 
-    inliers = jnp.logical_and(point_res[best] < pass_threshold, valid)
+    # residual < pass  <=>  residual^2 < pass^2 (thresholds are positive).
+    if method == "quat":
+        take = lambda x: x[best]
+        rsq_best = rsq_of(take(scale),
+                          [[take(rstar[i][j]) for j in range(3)]
+                           for i in range(3)],
+                          [take(trans[j]) for j in range(3)])
+    else:
+        rsq_best = rsq_all[best]
+    inliers = jnp.logical_and(rsq_best < pass_sq, valid)
     ratio = inliers.sum() / n  # reference divides by total point count
     return inliers, ratio
 

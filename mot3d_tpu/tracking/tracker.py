@@ -48,20 +48,30 @@ class Tracker:
         thresh = self.cfg.edge_threshold
 
         # Detections entering the track graph per frame, via positive
-        # consecutive edges.
+        # consecutive edges.  Vectorised: the edge filter and the
+        # endpoint-expansion run as numpy array ops, and each (frame, slot)
+        # pair is materialised as a dict once (first edge-order occurrence)
+        # instead of once per incident edge — the greedy assembly below
+        # dedups by obj_idx anyway, so dropping later duplicates of the
+        # same slot is behaviour-preserving while cutting the Python-loop
+        # work from O(edges) to O(unique detections).
         per_frame: List[List[dict]] = [[] for _ in range(T)]
 
         consec = template.dt == 1
         pos = edge_probs >= thresh
-        for e in np.nonzero(consec & pos)[0]:
-            t, i = int(template.src_frame[e]), int(template.src_slot[e])
-            t2, j = int(template.dst_frame[e]), int(template.dst_slot[e])
-            if not (det_valid[t, i] and det_valid[t2, j]):
-                continue
-            if obj_ids[t, i] < 0 or obj_ids[t2, j] < 0:
-                continue
+        ts, si = template.src_frame, template.src_slot
+        td, sj = template.dst_frame, template.dst_slot
+        keep = (consec & pos
+                & det_valid[ts, si] & det_valid[td, sj]
+                & (obj_ids[ts, si] >= 0) & (obj_ids[td, sj] >= 0))
+        # (src, dst) interleaved in edge order == the original append order.
+        et = np.stack([ts[keep], td[keep]], axis=1).ravel()
+        es = np.stack([si[keep], sj[keep]], axis=1).ravel()
+        flat = et * det_valid.shape[1] + es
+        _, first = np.unique(flat, return_index=True)
+        for idx in np.sort(first):
+            t, i = int(et[idx]), int(es[idx])
             per_frame[t].append(self._det(t, i, obj_ids, translations, classes))
-            per_frame[t2].append(self._det(t2, j, obj_ids, translations, classes))
 
         # Unique detections: frame t matched detections whose successor frame
         # has no detections at all (they have no consecutive edges).
@@ -73,23 +83,26 @@ class Tracker:
                     per_frame[t].append(
                         self._det(t, int(i), obj_ids, translations, classes))
 
-        # Greedy identity-keyed assembly (tracking_front.py:319-383).
+        # Greedy identity-keyed assembly (tracking_front.py:319-383).  At
+        # most one trajectory exists per obj_idx (a second det with a seen
+        # id is always appended to the existing track), so the linear
+        # trajectory scan is an exact dict lookup.
         trajectories: List[List[dict]] = []
+        by_id: dict = {}
         for t in range(T):
             used_ids: set = set()
             for det in per_frame[t]:
                 oid = det["obj_idx"]
                 if oid in used_ids:
                     continue
-                placed = False
-                for traj in trajectories:
-                    if traj[0]["obj_idx"] == oid:
-                        if traj[-1]["scan_idx"] != t:
-                            traj.append(det)
-                        placed = True
-                        break
-                if not placed:
-                    trajectories.append([det])
+                traj = by_id.get(oid)
+                if traj is not None:
+                    if traj[-1]["scan_idx"] != t:
+                        traj.append(det)
+                else:
+                    traj = [det]
+                    trajectories.append(traj)
+                    by_id[oid] = traj
                 used_ids.add(oid)
         return trajectories
 
