@@ -379,3 +379,84 @@ class TestRansacDeterminism:
         np.testing.assert_array_equal(np.asarray(f1.scale), np.asarray(f2.scale))
         np.testing.assert_array_equal(np.asarray(f1.rotation),
                                       np.asarray(f2.rotation))
+
+
+class TestAssembleEquivalence:
+    """The vectorised Tracker.assemble must match a per-edge transcription
+    of the greedy algorithm (tracking_front.py:319-383) on random inputs."""
+
+    @staticmethod
+    def _assemble_oracle(template, edge_probs, obj_ids, det_valid,
+                         translations, classes, thresh):
+        T, I = det_valid.shape
+        per_frame = [[] for _ in range(T)]
+
+        def det(t, i):
+            return {"scan_idx": t, "obj_idx": int(obj_ids[t, i]),
+                    "loc": np.asarray(translations[t, i], np.float64),
+                    "cls": int(classes[t, i])}
+
+        consec = template.dt == 1
+        pos = edge_probs >= thresh
+        for e in np.nonzero(consec & pos)[0]:
+            t, i = int(template.src_frame[e]), int(template.src_slot[e])
+            t2, j = int(template.dst_frame[e]), int(template.dst_slot[e])
+            if not (det_valid[t, i] and det_valid[t2, j]):
+                continue
+            if obj_ids[t, i] < 0 or obj_ids[t2, j] < 0:
+                continue
+            per_frame[t].append(det(t, i))
+            per_frame[t2].append(det(t2, j))
+        for t in range(T - 1):
+            if det_valid[t + 1].any():
+                continue
+            for i in np.nonzero(det_valid[t])[0]:
+                if obj_ids[t, int(i)] >= 0:
+                    per_frame[t].append(det(t, int(i)))
+
+        trajectories = []
+        for t in range(T):
+            used = set()
+            for d in per_frame[t]:
+                oid = d["obj_idx"]
+                if oid in used:
+                    continue
+                placed = False
+                for traj in trajectories:
+                    if traj[0]["obj_idx"] == oid:
+                        if traj[-1]["scan_idx"] != t:
+                            traj.append(d)
+                        placed = True
+                        break
+                if not placed:
+                    trajectories.append([d])
+                used.add(oid)
+        return trajectories
+
+    def test_matches_per_edge_oracle_randomised(self):
+        template = make_template(TCFG.seq_len, TCFG.max_instances_per_frame,
+                                 TCFG.max_frame_dist)
+        e = len(template.src_frame)
+        T, I = TCFG.seq_len, TCFG.max_instances_per_frame
+        tracker = Tracker(TCFG)
+        for seed in range(20):
+            r = np.random.default_rng(seed)
+            probs = r.uniform(size=e)
+            det_valid = r.uniform(size=(T, I)) < 0.7
+            # Identities including FPs (-1) and duplicate ids in a frame.
+            obj_ids = r.integers(-1, 4, size=(T, I))
+            translations = r.normal(size=(T, I, 3))
+            classes = r.integers(0, 3, size=(T, I))
+            got = tracker.assemble(template, probs, obj_ids, det_valid,
+                                   translations, classes)
+            want = self._assemble_oracle(template, probs, obj_ids, det_valid,
+                                         translations, classes,
+                                         tracker.cfg.edge_threshold)
+            assert len(got) == len(want), seed
+            for a, b in zip(got, want):
+                assert len(a) == len(b), seed
+                for da, db in zip(a, b):
+                    assert da["scan_idx"] == db["scan_idx"], seed
+                    assert da["obj_idx"] == db["obj_idx"], seed
+                    assert da["cls"] == db["cls"], seed
+                    np.testing.assert_array_equal(da["loc"], db["loc"])
