@@ -131,7 +131,6 @@ def main():
     pooled14 = [jnp.asarray(
         np.random.default_rng(9 + k).normal(size=(T * d, 14, 14, 256)),
         jnp.bfloat16) for k in (0, 1)]
-    classes = jnp.zeros((T * d,), jnp.int32)
 
     def timed_heads(name, method):
         fn = jax.jit(lambda p, pl: model.apply(p, pl, method=method))

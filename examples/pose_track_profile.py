@@ -131,7 +131,6 @@ def main():
     from mot3d_tpu.geometry.outlier import statistical_outlier_mask
     from mot3d_tpu.geometry.umeyama import estimate_similarity_transform
     from mot3d_tpu.pose.extraction import grid_extract
-    from mot3d_tpu.geometry.backproject import make_intrinsics as _mk
 
     g = int(round(cfg.pose.max_points ** 0.5))
 

@@ -95,7 +95,7 @@ def main():
             def r_of(sc, ro, tr):
                 m = SimilarityTransform(sc, ro, tr, jnp.asarray(True))
                 rr = _model_residuals(m, s, t)
-                return jnp.sqrt(jnp.where(v, rr, 0.0) ** 2).sum()
+                return jnp.sqrt((jnp.where(v, rr, 0.0) ** 2).sum())
             return jax.vmap(r_of)(mscale, mrot, mtrans)
         return jax.vmap(one)(src, tgt, val, models.scale, models.rotation,
                              models.translation)

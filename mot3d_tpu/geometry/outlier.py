@@ -47,8 +47,13 @@ def statistical_outlier_mask(points: jax.Array, valid: jax.Array,
     sq = (points ** 2).sum(-1)
 
     if candidates and candidates < n:
-        stride = n // candidates
-        cols = jnp.arange(candidates) * stride + stride // 2   # static, even
+        # Evenly spread column indices for ANY (n, candidates) pair: the
+        # i-th candidate sits at the centre of the i-th of `candidates`
+        # equal spans of [0, n).  An integer stride (n // candidates) would
+        # degenerate to a spatially biased prefix when candidates does not
+        # divide n (e.g. 600 of 1024 -> cols 0..599), starving the tail of
+        # a raster-ordered buffer of neighbour candidates.
+        cols = (jnp.arange(candidates) * n + n // 2) // candidates
         d2 = (sq[:, None] + sq[cols][None, :]
               - 2.0 * (points @ points[cols].T))
         col_valid = valid[cols]

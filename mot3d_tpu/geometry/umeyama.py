@@ -61,9 +61,14 @@ def _horn_rstar_scalars(c):
 
     c: 3x3 nested list of (...,) covariance components (target x source,
     as `umeyama_similarity` builds it).  Returns r* as a 3x3 nested list of
-    (...,) scalars.  Same algorithm as `_kabsch_rotation_quat` (Horn
-    quaternion via shifted repeated squaring), written entirely in scalar
-    expressions so every intermediate is a lane-packed (...,) array.
+    (...,) scalars.  Horn's quaternion method: the largest-eigenvalue
+    eigenvector of the symmetric 4x4 K(cov) is the optimal unit quaternion;
+    a trace shift makes that eigenvalue dominant in magnitude and
+    K^(2^6) q0 extracts it by repeated squaring.  Written entirely in
+    scalar expressions so every intermediate is a lane-packed (...,) array
+    — a (..., 4, 4) matrix pads to a full (8, 128) TPU tile per lane.
+    Handles the reflection case by construction (always a proper rotation —
+    the behaviour the reference's SVD sign-flip targets).
     """
     # s = cov.T (Horn's N is built from sum s t^T; ours is sum t s^T).
     s = [[c[j][i] for j in range(3)] for i in range(3)]
@@ -130,59 +135,6 @@ def _umeyama_fit_scalars(sc, tc, w):
     return scale, rstar, translation
 
 
-def _kabsch_rotation_quat(cov: jax.Array, squarings: int = 6) -> jax.Array:
-    """Optimal source->target rotation R* from a 3x3 covariance, via Horn's
-    quaternion method with repeated matrix squaring.
-
-    TPU-native alternative to jnp.linalg.svd: builds the symmetric 4x4
-    matrix K(cov) whose largest-eigenvalue eigenvector is the optimal unit
-    quaternion, then computes K^(2^squarings) q0 by `squarings` normalised
-    matrix squarings (equivalent to 2^squarings power-iteration steps but
-    with sequential depth 6 instead of 64 — the RANSAC hot loop runs this
-    over 40k vmapped lanes, where a deep fori_loop of tiny matvecs was the
-    pose stage's dominant cost) after a trace shift that makes the top
-    eigenvalue dominant in magnitude.  Normalising by the Frobenius norm
-    after each squaring keeps f32 in range; the eigenvector is unchanged.
-    Handles the reflection case by construction (always returns a proper
-    rotation — the behaviour the reference's sign-flip targets).
-    """
-    # Horn's N is built from M = sum s t^T; our covariance is sum t s^T.
-    s = cov.T
-    tr = s[0, 0] + s[1, 1] + s[2, 2]
-    k = jnp.array([
-        [tr, s[1, 2] - s[2, 1], s[2, 0] - s[0, 2], s[0, 1] - s[1, 0]],
-        [s[1, 2] - s[2, 1], s[0, 0] - s[1, 1] - s[2, 2],
-         s[0, 1] + s[1, 0], s[2, 0] + s[0, 2]],
-        [s[2, 0] - s[0, 2], s[0, 1] + s[1, 0],
-         s[1, 1] - s[0, 0] - s[2, 2], s[1, 2] + s[2, 1]],
-        [s[0, 1] - s[1, 0], s[2, 0] + s[0, 2], s[1, 2] + s[2, 1],
-         s[2, 2] - s[0, 0] - s[1, 1]],
-    ])
-    # Shift so the most-positive eigenvalue dominates in magnitude:
-    # eigenvalues of K lie within +-2*||cov||_F * sqrt(3)-ish; Frobenius
-    # bound is cheap and safe.
-    shift = 2.0 * jnp.sqrt((s * s).sum()) + 1e-12
-    km = k + shift * jnp.eye(4)
-
-    # Repeated squaring: km <- (km @ km) / ||.||_F, unrolled (fuses into one
-    # kernel under vmap; a lax.fori_loop of matvecs forces a sequential XLA
-    # While with per-step launch overhead across the whole RANSAC batch).
-    for _ in range(squarings):
-        km = km @ km
-        km = km / jnp.maximum(jnp.sqrt((km * km).sum()), 1e-20)
-
-    q = km @ jnp.full((4,), 0.5, cov.dtype)
-    q = q / jnp.maximum(jnp.linalg.norm(q), 1e-20)
-    w, x, y, z = q[0], q[1], q[2], q[3]
-    # Quaternion -> rotation matrix (source->target).
-    r = jnp.array([
-        [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
-        [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
-        [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
-    ])
-    return r
-
-
 @high_precision
 def umeyama_similarity(source: jax.Array, target: jax.Array,
                        weights: jax.Array,
@@ -194,9 +146,10 @@ def umeyama_similarity(source: jax.Array, target: jax.Array,
     (1/N) covariance and variance, reflection handled as a proper rotation,
     scale = sum(D')/var(source), fallback scale 1 when var or sum(D) is zero.
 
-    method: "quat" (default; Horn's quaternion solver via power iteration —
-    batched matmuls, fast on TPU where small SVDs are slow) or "svd"
-    (jnp.linalg.svd, bit-closer to the reference's LAPACK path).
+    method: "quat" (default; Horn's quaternion solver in lane-packed
+    scalar form — see `_umeyama_fit_scalars`; fast on TPU where small
+    SVDs are slow) or "svd" (jnp.linalg.svd, bit-closer to the
+    reference's LAPACK path).
     """
     w = weights.astype(source.dtype)
     if method == "quat":

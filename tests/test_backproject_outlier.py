@@ -109,6 +109,28 @@ class TestOutlier:
         agree = (full[:924] == sub[:924]).mean()
         assert agree > 0.97, agree
 
+    def test_candidate_columns_cover_nondivisible_n(self):
+        # candidates that do not divide n must still sample the WHOLE
+        # buffer, not a prefix (a 600-of-1024 subset with integer stride 1
+        # would starve slots 600..1023 of neighbour candidates, biasing the
+        # kNN statistic against the tail of a raster-ordered buffer).
+        cluster = RNG.normal(size=(1000, 3)).astype(np.float32) * 0.1
+        outliers = RNG.normal(size=(24, 3)).astype(np.float32) * 0.1
+        outliers += np.sign(outliers) * 4.0
+        pts = np.concatenate([cluster, outliers])
+        valid = np.ones(1024, bool)
+        full = np.asarray(statistical_outlier_mask(
+            jnp.array(pts), jnp.array(valid), min_points=10, approx=False))
+        sub = np.asarray(statistical_outlier_mask(
+            jnp.array(pts), jnp.array(valid), min_points=10, approx=False,
+            candidates=600))
+        assert not sub[1000:].any()            # outliers removed
+        assert sub[:1000].mean() > 0.95        # inliers kept
+        agree = (full == sub).mean()
+        assert agree > 0.97, agree
+        # Tail slots must behave like head slots (no positional bias).
+        assert sub[500:1000].mean() > 0.95
+
     def test_padding_ignored(self):
         cluster = RNG.normal(size=(150, 3)).astype(np.float32) * 0.1
         pad = np.full((50, 3), 1e6, np.float32)
