@@ -126,6 +126,73 @@ class MOTAccumulator:
         }
 
 
+class TrajArrays:
+    """Flat per-detection arrays of a trajectory table, sorted by frame.
+
+    The numpy-native form of the reference's `get_traj_table` schema
+    (`tracking_front.py:845-878`): per-frame slicing becomes two
+    searchsorted calls instead of a pandas boolean filter (which measured
+    ~85% of the whole MOTA evaluation at dataset scale)."""
+
+    __slots__ = ("scan", "loc", "ids", "cls")
+
+    def __init__(self, scan, loc, ids, cls):
+        order = np.argsort(scan, kind="stable")  # keep within-frame order
+        self.scan = scan[order]
+        self.loc = loc[order]
+        self.ids = ids[order]
+        self.cls = cls[order]
+
+    @classmethod
+    def from_table(cls, table) -> "TrajArrays":
+        if len(table) == 0:
+            return cls(np.zeros(0, np.int64), np.zeros((0, 3)),
+                       np.zeros(0, np.int64), np.zeros(0, np.int64))
+        return cls(table["scan_idx"].to_numpy(np.int64),
+                   table[["world_x", "world_y", "world_z"]]
+                   .to_numpy(np.float64),
+                   table["obj_idx"].to_numpy(np.int64),
+                   table["obj_cls"].to_numpy(np.int64))
+
+    @classmethod
+    def from_trajectories(cls, trajectories) -> "TrajArrays":
+        dets = [d for traj in trajectories for d in traj]
+        if not dets:
+            return cls(np.zeros(0, np.int64), np.zeros((0, 3)),
+                       np.zeros(0, np.int64), np.zeros(0, np.int64))
+        return cls(np.array([d["scan_idx"] for d in dets], np.int64),
+                   np.array([d["loc"] for d in dets], np.float64),
+                   np.array([d["obj_idx"] for d in dets], np.int64),
+                   np.array([d["cls"] for d in dets], np.int64))
+
+    def of_class(self, ci: int) -> "TrajArrays":
+        m = self.cls == ci
+        out = object.__new__(TrajArrays)  # rows already frame-sorted
+        out.scan, out.loc = self.scan[m], self.loc[m]
+        out.ids, out.cls = self.ids[m], self.cls[m]
+        return out
+
+
+def mot_summary_arrays(pred: TrajArrays, gt: TrajArrays, seq_len: int,
+                       l2_gate: float = 0.4) -> Dict[str, float]:
+    """MOTA summary from TrajArrays.  Mirrors `eval_mota`
+    (`tracking_front.py:946-979`): per frame, the distance matrix is the
+    squared-L2 gated at l2_gate."""
+    acc = MOTAccumulator()
+    frames = np.arange(seq_len + 1)
+    g_ofs = np.searchsorted(gt.scan, frames)
+    p_ofs = np.searchsorted(pred.scan, frames)
+    for scan_idx in range(seq_len):
+        g0, g1 = g_ofs[scan_idx], g_ofs[scan_idx + 1]
+        p0, p1 = p_ofs[scan_idx], p_ofs[scan_idx + 1]
+        gt_ids = gt.ids[g0:g1].tolist()
+        hyp_ids = pred.ids[p0:p1].tolist()
+        dists = norm2squared_matrix(gt.loc[g0:g1], pred.loc[p0:p1],
+                                    max_d2=l2_gate)
+        acc.update(gt_ids, hyp_ids, dists)
+    return acc.summary()
+
+
 def mot_summary(pred_table, gt_table, seq_len: int,
                 l2_gate: float = 0.4) -> Dict[str, float]:
     """MOTA summary from trajectory tables.
@@ -133,22 +200,10 @@ def mot_summary(pred_table, gt_table, seq_len: int,
     Tables are pandas DataFrames with columns
     [scan_idx, world_x, world_y, world_z, obj_idx, obj_cls] — the schema of
     the reference's `get_traj_table` (`tracking_front.py:845-878`).
-    Mirrors `eval_mota` (`tracking_front.py:946-979`): per frame, the distance
-    matrix is the squared-L2 gated at l2_gate.
     """
-    acc = MOTAccumulator()
-    cols = ["world_x", "world_y", "world_z"]
-    for scan_idx in range(seq_len):
-        gt_rows = gt_table[gt_table["scan_idx"] == scan_idx]
-        pr_rows = pred_table[pred_table["scan_idx"] == scan_idx]
-        gt_ids = gt_rows["obj_idx"].tolist()
-        hyp_ids = [int(v) for v in pr_rows["obj_idx"].tolist()]
-        dists = norm2squared_matrix(
-            gt_rows[cols].to_numpy() if len(gt_rows) else np.zeros((0, 3)),
-            pr_rows[cols].to_numpy() if len(pr_rows) else np.zeros((0, 3)),
-            max_d2=l2_gate)
-        acc.update(gt_ids, hyp_ids, dists)
-    return acc.summary()
+    return mot_summary_arrays(TrajArrays.from_table(pred_table),
+                              TrajArrays.from_table(gt_table),
+                              seq_len, l2_gate)
 
 
 def accumulated_mota(summaries: Sequence[Dict[str, float]]) -> float:
