@@ -52,6 +52,10 @@ class MOTAccumulator:
         self.num_false_positives = 0
         self.num_frames = 0
         self.events: List[tuple] = []
+        # (gt id, hyp id) -> frames where the pair is within the gate;
+        # feeds the global ID assignment behind IDF1 (Ristani et al., as
+        # in motmetrics' id_global_assignment).
+        self.pair_frames: Dict[tuple, int] = {}
 
     def update(self, gt_ids: Sequence[Hashable], hyp_ids: Sequence[Hashable],
                dists: np.ndarray) -> None:
@@ -61,6 +65,13 @@ class MOTAccumulator:
         self.num_hypotheses += len(hyp_ids)
         dists = np.asarray(dists, dtype=np.float64).reshape(
             len(gt_ids), len(hyp_ids))
+
+        # IDF1 bookkeeping: every within-gate (gt, hyp) co-occurrence counts
+        # as a candidate identity match, independent of the per-frame
+        # event assignment below.
+        for gi_, hi_ in zip(*np.nonzero(~np.isnan(dists))):
+            key = (gt_ids[gi_], hyp_ids[hi_])
+            self.pair_frames[key] = self.pair_frames.get(key, 0) + 1
 
         matched_g: Dict[int, int] = {}
         used_h: set = set()
@@ -109,6 +120,26 @@ class MOTAccumulator:
                 self.num_false_positives += 1
                 self.events.append(("FP", self.num_frames - 1, None, hyp_ids[hi]))
 
+    def idf1(self) -> float:
+        """ID-F1 (Ristani et al., motmetrics `idf1`): one global bipartite
+        assignment GT id <-> hyp id maximising the number of within-gate
+        co-occurring frames (IDTP); IDF1 = 2*IDTP / (gt dets + hyp dets)."""
+        total = self.num_objects + self.num_hypotheses
+        if total == 0:
+            return 1.0
+        if not self.pair_frames:
+            return 0.0
+        g_ids = sorted({g for g, _ in self.pair_frames})
+        h_ids = sorted({h for _, h in self.pair_frames})
+        gi = {g: i for i, g in enumerate(g_ids)}
+        hi = {h: i for i, h in enumerate(h_ids)}
+        overlap = np.zeros((len(g_ids), len(h_ids)))
+        for (g, h), n in self.pair_frames.items():
+            overlap[gi[g], hi[h]] = n
+        rows, cols = linear_sum_assignment(-overlap)
+        idtp = overlap[rows, cols].sum()
+        return 2.0 * idtp / total
+
     def summary(self) -> Dict[str, float]:
         detections = self.num_matches + self.num_switches
         n_obj = max(self.num_objects, 1)
@@ -116,6 +147,7 @@ class MOTAccumulator:
             "num_frames": self.num_frames,
             "mota": 1.0 - (self.num_misses + self.num_false_positives
                            + self.num_switches) / n_obj,
+            "idf1": self.idf1(),
             "precision": detections / max(detections + self.num_false_positives, 1),
             "recall": detections / n_obj,
             "num_objects": self.num_objects,

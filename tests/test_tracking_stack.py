@@ -381,6 +381,41 @@ class TestRansacDeterminism:
                                       np.asarray(f2.rotation))
 
 
+class TestIDF1:
+    """IDF1 (Ristani et al.) from the accumulator's global ID assignment."""
+
+    def test_perfect_tracking_is_one(self):
+        acc = MOTAccumulator()
+        g = np.array([[0, 0, 0], [1, 0, 0]], float)
+        for _ in range(3):
+            acc.update([1, 2], ["a", "b"], norm2squared_matrix(g, g, 0.4))
+        assert acc.summary()["idf1"] == 1.0
+
+    def test_identity_swap_halves_idf1(self):
+        # One object, tracked by hyp a for 2 frames then hyp b for 2: the
+        # best global pair covers 2 of 4 frames on both sides -> 0.5.
+        acc = MOTAccumulator()
+        one = np.array([[0, 0, 0]], float)
+        for t in range(4):
+            hyp = "a" if t < 2 else "b"
+            acc.update([1], [hyp], norm2squared_matrix(one, one, 0.4))
+        s = acc.summary()
+        assert s["num_switches"] == 1
+        assert abs(s["idf1"] - 0.5) < 1e-12
+
+    def test_false_positive_lowers_idf1(self):
+        acc = MOTAccumulator()
+        one = np.array([[0, 0, 0]], float)
+        hyps = np.array([[0, 0, 0], [9, 9, 9]], float)
+        for _ in range(2):
+            acc.update([1], ["a", "fp"], norm2squared_matrix(one, hyps, 0.4))
+        # IDTP=2, gt dets=2, hyp dets=4 -> 2*2/6.
+        assert abs(acc.summary()["idf1"] - 2 * 2 / 6) < 1e-12
+
+    def test_empty_is_one(self):
+        assert MOTAccumulator().summary()["idf1"] == 1.0
+
+
 class TestAssembleEquivalence:
     """The vectorised Tracker.assemble must match a per-edge transcription
     of the greedy algorithm (tracking_front.py:319-383) on random inputs."""
