@@ -120,15 +120,12 @@ class MOTAccumulator:
                 self.num_false_positives += 1
                 self.events.append(("FP", self.num_frames - 1, None, hyp_ids[hi]))
 
-    def idf1(self) -> float:
-        """ID-F1 (Ristani et al., motmetrics `idf1`): one global bipartite
-        assignment GT id <-> hyp id maximising the number of within-gate
-        co-occurring frames (IDTP); IDF1 = 2*IDTP / (gt dets + hyp dets)."""
-        total = self.num_objects + self.num_hypotheses
-        if total == 0:
-            return 1.0
+    def idtp(self) -> int:
+        """ID true positives: one global bipartite assignment GT id <-> hyp
+        id maximising the number of within-gate co-occurring frames
+        (Ristani et al.; motmetrics' id_global_assignment)."""
         if not self.pair_frames:
-            return 0.0
+            return 0
         g_ids = sorted({g for g, _ in self.pair_frames})
         h_ids = sorted({h for _, h in self.pair_frames})
         gi = {g: i for i, g in enumerate(g_ids)}
@@ -137,17 +134,27 @@ class MOTAccumulator:
         for (g, h), n in self.pair_frames.items():
             overlap[gi[g], hi[h]] = n
         rows, cols = linear_sum_assignment(-overlap)
-        idtp = overlap[rows, cols].sum()
-        return 2.0 * idtp / total
+        return int(overlap[rows, cols].sum())
+
+    def idf1(self) -> float:
+        """ID-F1 = 2*IDTP / (gt dets + hyp dets)."""
+        total = self.num_objects + self.num_hypotheses
+        if total == 0:
+            return 1.0
+        return 2.0 * self.idtp() / total
 
     def summary(self) -> Dict[str, float]:
         detections = self.num_matches + self.num_switches
         n_obj = max(self.num_objects, 1)
+        idtp = self.idtp()
+        total_dets = self.num_objects + self.num_hypotheses
         return {
             "num_frames": self.num_frames,
             "mota": 1.0 - (self.num_misses + self.num_false_positives
                            + self.num_switches) / n_obj,
-            "idf1": self.idf1(),
+            "idf1": 1.0 if total_dets == 0 else 2.0 * idtp / total_dets,
+            "idtp": idtp,
+            "num_hypotheses": self.num_hypotheses,
             "precision": detections / max(detections + self.num_false_positives, 1),
             "recall": detections / n_obj,
             "num_objects": self.num_objects,
@@ -236,6 +243,15 @@ def mot_summary(pred_table, gt_table, seq_len: int,
     return mot_summary_arrays(TrajArrays.from_table(pred_table),
                               TrajArrays.from_table(gt_table),
                               seq_len, l2_gate)
+
+
+def accumulated_idf1(summaries: Sequence[Dict[str, float]]) -> float:
+    """Dataset-level IDF1 from per-sequence summaries.  Sequences have
+    disjoint identity spaces, so the global ID assignment decomposes per
+    sequence: IDF1 = 2 * sum(IDTP_i) / sum(gt dets_i + hyp dets_i)."""
+    idtp = sum(s["idtp"] for s in summaries)
+    total = sum(s["num_objects"] + s["num_hypotheses"] for s in summaries)
+    return 1.0 if total == 0 else 2.0 * idtp / total
 
 
 def accumulated_mota(summaries: Sequence[Dict[str, float]]) -> float:

@@ -23,7 +23,8 @@ from mot3d_tpu.parallel.train_step import (TrackingBatch, TrackingTrainState,
                                            make_tracking_train_step)
 from mot3d_tpu.tracking import Tracker, build_graph
 from mot3d_tpu.tracking.graph_builder import make_template
-from mot3d_tpu.tracking.mot_metrics import accumulated_mota
+from mot3d_tpu.tracking.mot_metrics import (accumulated_idf1,
+                                             accumulated_mota)
 from mot3d_tpu.train.checkpoints import CheckpointManager
 from mot3d_tpu.train.metrics_writer import MetricsWriter
 
@@ -164,6 +165,7 @@ class TrackingTrainer:
         out = {
             "val_loss": float(np.mean(losses)) if losses else 0.0,
             "mota": accumulated_mota(summaries),
+            "idf1": accumulated_idf1(summaries),
             "precision": float(np.mean([s["precision"] for s in summaries])),
             "recall": float(np.mean([s["recall"] for s in summaries])),
             "switches": float(sum(s["num_switches"] for s in summaries)),
