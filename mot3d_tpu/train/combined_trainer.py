@@ -34,7 +34,8 @@ from mot3d_tpu.parallel.train_step import (CombinedBatch, CombinedTrainState,
 from mot3d_tpu.pose.pipeline import postprocess_frame
 from mot3d_tpu.tracking import Tracker, build_graph
 from mot3d_tpu.tracking.graph_builder import make_template
-from mot3d_tpu.tracking.mot_metrics import accumulated_mota
+from mot3d_tpu.tracking.mot_metrics import (accumulated_idf1,
+                                             accumulated_mota)
 from mot3d_tpu.train.checkpoints import CheckpointManager
 from mot3d_tpu.train.metrics_writer import MetricsWriter
 
@@ -220,6 +221,7 @@ class CombinedTrainer:
             summaries.append(summary)
         out = {
             "mota": accumulated_mota(summaries),
+            "idf1": accumulated_idf1(summaries),
             "precision": float(np.mean([s["precision"] for s in summaries])),
             "recall": float(np.mean([s["recall"] for s in summaries])),
         }

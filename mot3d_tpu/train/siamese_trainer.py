@@ -36,7 +36,8 @@ from mot3d_tpu.models.siamese import (SiameseTracker, mine_triplets,
 from mot3d_tpu.parallel.train_step import TrackingBatch
 from mot3d_tpu.tracking import Tracker, build_graph
 from mot3d_tpu.tracking.graph_builder import make_template
-from mot3d_tpu.tracking.mot_metrics import accumulated_mota
+from mot3d_tpu.tracking.mot_metrics import (accumulated_idf1,
+                                             accumulated_mota)
 from mot3d_tpu.train.checkpoints import CheckpointManager
 from mot3d_tpu.train.metrics_writer import MetricsWriter
 from mot3d_tpu.train.tracking_trainer import sequences_to_batch
@@ -289,6 +290,7 @@ class SiameseTrainer:
         out = {
             "val_loss": float(np.mean(losses)) if losses else 0.0,
             "mota": accumulated_mota(summaries),
+            "idf1": accumulated_idf1(summaries),
             "precision": float(np.mean([s["precision"] for s in summaries])),
             "recall": float(np.mean([s["recall"] for s in summaries])),
             "switches": float(sum(s["num_switches"] for s in summaries)),
