@@ -92,11 +92,14 @@ def main():
     # (the per-frame Pallas kernel) or "full" (round-1 paste+gather).
     extraction = os.environ.get("BENCH_EXTRACT", "grid")
 
-    from mot3d_tpu.runtime import enable_compilation_cache
+    from mot3d_tpu.runtime import enable_compilation_cache, require_backend
     enable_compilation_cache()
     import jax
     import jax.numpy as jnp
-    log("devices:", jax.devices())
+    # Fail fast (with a diagnostic) rather than hang forever if the TPU
+    # tunnel is down — its failure mode is an indefinite PJRT-init hang.
+    log("devices:", require_backend(float(os.environ.get(
+        "BENCH_INIT_TIMEOUT", "300"))))
 
     import dataclasses
     from mot3d_tpu.config import default_config

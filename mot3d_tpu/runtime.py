@@ -44,3 +44,33 @@ def profile(logdir: str | None):
             yield
     else:
         yield
+
+
+def require_backend(timeout_s: float = 180.0):
+    """Initialise the JAX backend with a hard timeout.
+
+    The TPU here sits behind a relay whose failure mode is an indefinite
+    hang inside PJRT client creation (not an error), which would wedge any
+    caller — including unattended benchmark runs.  Backend init runs in a
+    daemon thread; on timeout the process exits with a diagnostic instead
+    of hanging forever.  Returns jax.devices() on success.
+    """
+    import sys
+    import threading
+
+    out: list = []
+
+    def _init():
+        out.append(jax.devices())
+
+    th = threading.Thread(target=_init, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if not out:
+        print(f"FATAL: JAX backend init did not complete within "
+              f"{timeout_s:.0f}s — the TPU tunnel is likely down "
+              f"(PJRT make_c_api_client hang). Retry later or run with "
+              f"jax.config.update('jax_platforms', 'cpu').",
+              file=sys.stderr, flush=True)
+        os._exit(3)
+    return out[0]
