@@ -7,3 +7,8 @@ from mot3d_tpu.parallel.train_step import (
     CombinedTrainState,
     make_combined_train_step,
 )
+from mot3d_tpu.parallel.infer_step import (
+    SequenceBatch,
+    SequenceOutputs,
+    make_sequence_infer_step,
+)
