@@ -158,6 +158,13 @@ class MOTFrontDataset:
                  voxel_dir: Optional[str] = None):
         self.img_dir = img_dir
         self.split_dir = os.path.join(img_dir, split)
+        if voxel_dir is None:
+            # Auto-detect the conventional sibling layout (<img_dir>/voxels)
+            # so the CLI works without --voxels when voxels live beside the
+            # scenes; an explicit flag still overrides (the reference keeps
+            # its CAD binvox tree in a separate future3d root).
+            cand = os.path.join(img_dir, "voxels")
+            voxel_dir = cand if os.path.isdir(cand) else None
         self.voxel_dir = voxel_dir
         mapping_file = os.path.join(img_dir, "3D_front_mapping.csv")
         self.cat_names = (read_csv_mapping(mapping_file)
