@@ -45,7 +45,7 @@ from mot3d_tpu.models.rpn import (RPNHead, decode_deltas, encode_deltas,
                                   select_proposals_batched, smooth_l1,
                                   subsample_labels)
 from mot3d_tpu.models.voxel_head import Pix2VoxDecoder, voxel_loss
-from mot3d_tpu.ops.nms import (batched_nms_mask, gather_rows,
+from mot3d_tpu.ops.nms import (classwise_nms_mask, gather_rows,
                                top_k_by_score)
 from mot3d_tpu.ops.roi_align import (multilevel_roi_align_batched_packed,
                                      multilevel_roi_align_packed, roi_align)
@@ -326,14 +326,18 @@ class MaskRCNN(nn.Module):
         flat_boxes = boxes_c.reshape(b, p * cc, 4)
         flat_scores = probs.reshape(b, p * cc)
         flat_cls = jnp.tile(jnp.arange(cc, dtype=jnp.int32), p)  # per image
-        flat_valid = jnp.logical_and(
-            jnp.repeat(pv, cc, axis=1), flat_scores > c.score_thresh_test)
+        valid_pc = jnp.logical_and(                               # (B, P, C)
+            pv[:, :, None], probs > c.score_thresh_test)
 
         finals = []
         for i in range(b):
-            keep = batched_nms_mask(flat_boxes[i], flat_scores[i], flat_cls,
-                                    flat_valid[i], c.nms_thresh_test,
-                                    not c.fast_nms)
+            # Class-aware NMS as C block-diagonal (P, P) problems on the
+            # (P, C) layout — same kept set as the flat offset-trick matrix
+            # at 1/C of the IoU work; reshape restores the flat layout
+            # (flat index = p*C + c).
+            keep = classwise_nms_mask(boxes_c[i], probs[i], valid_pc[i],
+                                      c.nms_thresh_test,
+                                      not c.fast_nms).reshape(p * cc)
             idx, ok = top_k_by_score(
                 jnp.where(keep, flat_scores[i], -jnp.inf), keep,
                 c.detections_per_image)

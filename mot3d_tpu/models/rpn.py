@@ -17,8 +17,8 @@ import numpy as np
 from flax import linen as nn
 
 from mot3d_tpu.geometry.iou3d import box2d_iou_matrix
-from mot3d_tpu.ops.nms import (batched_nms_mask, batched_nms_mask_batched,
-                               gather_rows, top_k_by_score)
+from mot3d_tpu.ops.nms import (gather_rows, nms_mask, nms_mask_batched,
+                               top_k_by_score)
 
 _CLAMP = float(np.log(1000.0 / 16))
 
@@ -210,28 +210,32 @@ def select_proposals(anchors: jax.Array, objectness: jax.Array,
     """Per-image proposal selection: per-level top-k -> decode -> clip ->
     level-aware NMS -> global top-k.  All sizes static.
 
-    Returns (boxes (P, 4), scores (P,), valid (P,))."""
-    cand_boxes, cand_scores, cand_lvls, cand_valid = [], [], [], []
+    Returns (boxes (P, 4), scores (P,), valid (P,)).
+
+    NMS runs per level (detectron2's level-aware NMS: boxes of different
+    FPN levels never suppress each other) — block-diagonal (k_l, k_l)
+    matrices instead of one (sum k_l)^2 matrix with level offsets, ~3.5x
+    less IoU work at MOTFront sizes for the identical kept set."""
+    cand_boxes, cand_scores, cand_keep = [], [], []
     for lvl, (s0, s1) in enumerate(slices):
         n_l = s1 - s0
         k = min(pre_nms_topk, n_l)
         scores_l = objectness[s0:s1]
         idx, ok = top_k_by_score(scores_l, jnp.ones(n_l, bool), k)
-        boxes_l = decode_deltas(anchors[s0:s1][idx], deltas[s0:s1][idx])
+        boxes_l = clip_boxes(
+            decode_deltas(anchors[s0:s1][idx], deltas[s0:s1][idx]),
+            *image_hw)
+        # Drop degenerate boxes.
+        wh_ok = jnp.logical_and(boxes_l[:, 2] > boxes_l[:, 0] + 1e-3,
+                                boxes_l[:, 3] > boxes_l[:, 1] + 1e-3)
+        valid_l = jnp.logical_and(ok, wh_ok)
         cand_boxes.append(boxes_l)
         cand_scores.append(scores_l[idx])
-        cand_lvls.append(jnp.full((k,), lvl, jnp.int32))
-        cand_valid.append(ok)
-    boxes = clip_boxes(jnp.concatenate(cand_boxes), *image_hw)
+        cand_keep.append(nms_mask(boxes_l, scores_l[idx], valid_l,
+                                  nms_thresh, exact_nms))
+    boxes = jnp.concatenate(cand_boxes)
     scores = jnp.concatenate(cand_scores)
-    lvls = jnp.concatenate(cand_lvls)
-    valid = jnp.concatenate(cand_valid)
-    # Drop degenerate boxes.
-    wh_ok = jnp.logical_and(boxes[:, 2] > boxes[:, 0] + 1e-3,
-                            boxes[:, 3] > boxes[:, 1] + 1e-3)
-    valid = jnp.logical_and(valid, wh_ok)
-    keep = batched_nms_mask(boxes, scores, lvls, valid, nms_thresh,
-                            exact_nms)
+    keep = jnp.concatenate(cand_keep)
     k = min(post_nms_topk, boxes.shape[0])
     idx, ok = top_k_by_score(jnp.where(keep, scores, -jnp.inf), keep, k)
     return boxes[idx], scores[idx], ok
@@ -246,9 +250,12 @@ def select_proposals_batched(anchors: jax.Array, objectness: jax.Array,
     Same per-image semantics, but every index op stays a flat gather and
     `lax.top_k` batches natively — a `jax.vmap` of the per-image version
     lowers to batched gathers/scatters that TPU executes markedly slower.
-    Returns (boxes (B, P, 4), scores (B, P), valid (B, P))."""
+    Returns (boxes (B, P, 4), scores (B, P), valid (B, P)).
+
+    As in `select_proposals`, NMS is per level (block-diagonal), via
+    `nms_mask_batched` (one traced body, `lax.map` over images)."""
     bsz = objectness.shape[0]
-    cand_boxes, cand_scores, cand_lvls, cand_valid = [], [], [], []
+    cand_boxes, cand_scores, cand_keep = [], [], []
     for lvl, (s0, s1) in enumerate(slices):
         n_l = s1 - s0
         k = min(pre_nms_topk, n_l)
@@ -256,19 +263,18 @@ def select_proposals_batched(anchors: jax.Array, objectness: jax.Array,
         idx, ok = top_k_by_score(scores_l, jnp.ones((bsz, n_l), bool), k)
         anchors_l = anchors[s0:s1][idx]          # unbatched operand: flat
         deltas_l = gather_rows(deltas[:, s0:s1], idx)
-        cand_boxes.append(decode_deltas(anchors_l, deltas_l))
-        cand_scores.append(gather_rows(scores_l, idx))
-        cand_lvls.append(jnp.full((k,), lvl, jnp.int32))
-        cand_valid.append(ok)
-    boxes = clip_boxes(jnp.concatenate(cand_boxes, axis=1), *image_hw)
+        boxes_l = clip_boxes(decode_deltas(anchors_l, deltas_l), *image_hw)
+        wh_ok = jnp.logical_and(boxes_l[..., 2] > boxes_l[..., 0] + 1e-3,
+                                boxes_l[..., 3] > boxes_l[..., 1] + 1e-3)
+        valid_l = jnp.logical_and(ok, wh_ok)
+        scores_lk = gather_rows(scores_l, idx)
+        cand_boxes.append(boxes_l)
+        cand_scores.append(scores_lk)
+        cand_keep.append(nms_mask_batched(boxes_l, scores_lk, valid_l,
+                                          nms_thresh, exact_nms))
+    boxes = jnp.concatenate(cand_boxes, axis=1)
     scores = jnp.concatenate(cand_scores, axis=1)
-    lvls = jnp.concatenate(cand_lvls)            # shared across the batch
-    valid = jnp.concatenate(cand_valid, axis=1)
-    wh_ok = jnp.logical_and(boxes[..., 2] > boxes[..., 0] + 1e-3,
-                            boxes[..., 3] > boxes[..., 1] + 1e-3)
-    valid = jnp.logical_and(valid, wh_ok)
-    keep = batched_nms_mask_batched(boxes, scores, lvls, valid, nms_thresh,
-                                    exact_nms)
+    keep = jnp.concatenate(cand_keep, axis=1)
     k = min(post_nms_topk, boxes.shape[1])
     idx, ok = top_k_by_score(jnp.where(keep, scores, -jnp.inf), keep, k)
     return gather_rows(boxes, idx), gather_rows(scores, idx), ok

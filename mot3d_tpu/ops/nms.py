@@ -3,11 +3,24 @@
 TPU-native replacement for detectron2's CUDA NMS (RPN proposal selection and
 test-time box filtering, `Detection/cfg_setup.py:123` NMS_THRESH_TEST=0.4).
 
-Algorithm: sort by score, compute the (K, K) pairwise-IoU matrix once (an
-MXU-shaped batch of reductions), then a `lax.fori_loop` scan over ranks that
-keeps box i iff no higher-ranked *kept* box overlaps it above the threshold —
-the classic suppression-matrix formulation, O(K^2) vector work instead of
-data-dependent control flow.
+Formulation: sort-free.  Rather than argsort + gather + a suppression scan,
+rank dominance is expressed as a pairwise predicate
+``higher(i, j) = s_i > s_j or (s_i == s_j and i < j)`` (the same order a
+stable descending sort produces), so the whole computation is elementwise
+matrix work on the (K, K) IoU matrix — no gathers, no unsort scatter:
+
+- fast NMS (YOLACT): keep j unless ANY higher-ranked valid box overlaps it
+  above the threshold — one matrix reduction.  Slightly over-suppresses
+  versus exact NMS (a suppressed box no longer "protects" boxes it covers).
+- exact NMS: the classic sequential definition
+  ``keep[j] = valid[j] and no higher-ranked KEPT box suppresses j``
+  is the unique fixpoint of ``keep <- valid & ~(keep @ S)`` because
+  `higher` is a strict total order (induction over ranks).  We iterate that
+  map from ``keep = valid`` with a `lax.while_loop` until it stops changing
+  (bounded by K+1): each iteration is ONE (K,)x(K,K) matvec, and the number
+  of iterations is the longest suppression chain (typically < 20), versus
+  the K sequential steps of a rank-by-rank scan — ~100x fewer serial steps
+  at RPN sizes (K~3500) for the identical kept set.
 """
 
 from __future__ import annotations
@@ -18,50 +31,87 @@ import jax.numpy as jnp
 from mot3d_tpu.geometry.iou3d import box2d_iou_matrix
 
 
+def _suppression_matrix(boxes: jax.Array, scores: jax.Array,
+                        valid: jax.Array, iou_threshold: float) -> jax.Array:
+    """S[i, j] = True iff valid box i ranks above valid box j and overlaps
+    it beyond the threshold (i.e. i would suppress j if i is kept)."""
+    k = boxes.shape[0]
+    iou = box2d_iou_matrix(boxes, boxes)
+    s = jnp.where(valid, scores, -jnp.inf)
+    idx = jnp.arange(k)
+    higher = jnp.logical_or(
+        s[:, None] > s[None, :],
+        jnp.logical_and(s[:, None] == s[None, :],
+                        idx[:, None] < idx[None, :]))
+    return (iou > iou_threshold) & higher & valid[:, None] & valid[None, :]
+
+
+def _exact_keep(suppress: jax.Array, valid: jax.Array) -> jax.Array:
+    """Exact-NMS keep mask: fixpoint of ``keep <- valid & ~(keep @ S)``.
+
+    Starting from the all-valid over-approximation, even iterates shrink
+    toward the true kept set from above and odd iterates grow from below;
+    entries whose suppression-chain depth is < n are correct after n
+    iterations, so the loop terminates at the unique fixpoint in
+    (longest chain + 1) steps, far below the K bound."""
+    k = valid.shape[0]
+    sf = suppress.astype(jnp.float32)
+
+    def cond(st):
+        it, keep, done = st
+        return jnp.logical_and(~done, it < k + 1)
+
+    def body(st):
+        it, keep, _ = st
+        new = jnp.logical_and(valid, (keep.astype(jnp.float32) @ sf) < 0.5)
+        return it + 1, new, jnp.array_equal(new, keep)
+
+    _, keep, _ = jax.lax.while_loop(
+        cond, body, (jnp.zeros((), jnp.int32), valid, jnp.array(False)))
+    return keep
+
+
 def nms_mask(boxes: jax.Array, scores: jax.Array, valid: jax.Array,
              iou_threshold: float, exact: bool = True) -> jax.Array:
     """Returns a keep-mask (K,) for XYXY boxes (K, 4); invalid boxes dropped.
 
     exact=True: equivalent (same kept set) to torchvision/detectron2 NMS on
-    the valid subset — a sequential scan over the suppression matrix.
-    exact=False: "fast NMS" (YOLACT): drop any box overlapped above the
-    threshold by ANY higher-scoring box, kept or not — one matrix reduction,
-    no sequential loop (TPU-friendly); slightly over-suppresses versus exact
-    NMS (a suppressed box can no longer "protect" boxes it overlaps).
-    """
-    k = boxes.shape[0]
-    order = jnp.argsort(jnp.where(valid, -scores, jnp.inf))
-    sboxes = boxes[order]
-    svalid = valid[order]
-    iou = box2d_iou_matrix(sboxes, sboxes)
-    # overlap[i, j]: candidate j is suppressed by kept i (i ranked higher).
-    tri = jnp.tril(jnp.ones((k, k), bool), -1).T  # upper triangle, i < j
-    suppress = jnp.logical_and(iou > iou_threshold, tri)
-    suppress = jnp.logical_and(suppress, svalid[:, None])
-
+    the valid subset.  exact=False: "fast NMS" (one matrix reduction)."""
+    suppress = _suppression_matrix(boxes, scores, valid, iou_threshold)
     if exact:
-        def body(i, keep):
-            # j suppressed if any kept i<j suppresses it.
-            row = jnp.logical_and(suppress[:, i], keep)
-            keep_i = jnp.logical_and(svalid[i], ~row.any())
-            return keep.at[i].set(keep_i)
-
-        keep_sorted = jax.lax.fori_loop(0, k, body, jnp.zeros(k, bool))
-    else:
-        keep_sorted = jnp.logical_and(svalid, ~suppress.any(0))
-    keep = jnp.zeros(k, bool).at[order].set(keep_sorted)
-    return keep
+        return _exact_keep(suppress, valid)
+    return jnp.logical_and(valid, ~suppress.any(0))
 
 
 def batched_nms_mask(boxes: jax.Array, scores: jax.Array, idxs: jax.Array,
                      valid: jax.Array, iou_threshold: float,
                      exact: bool = True) -> jax.Array:
     """Category-aware NMS: boxes of different `idxs` never suppress each
-    other (the detectron2 batched_nms coordinate-offset trick)."""
+    other (the detectron2 batched_nms coordinate-offset trick).
+
+    When categories are statically contiguous, prefer `classwise_nms_mask`
+    (block-diagonal matrices) — this general form pays for the full
+    (K, K) matrix across categories."""
     max_coord = jnp.max(jnp.where(valid[:, None], boxes, 0.0)) + 1.0
     offsets = idxs.astype(boxes.dtype) * max_coord
     shifted = boxes + offsets[:, None]
     return nms_mask(shifted, scores, valid, iou_threshold, exact)
+
+
+def classwise_nms_mask(boxes: jax.Array, scores: jax.Array,
+                       valid: jax.Array, iou_threshold: float,
+                       exact: bool = True) -> jax.Array:
+    """Class-aware NMS on a (P, C) layout: boxes (P, C, 4), scores/valid
+    (P, C) -> keep (P, C).
+
+    Identical kept set to `batched_nms_mask` on the flattened (P*C) arrays
+    with class ids, but runs C independent (P, P) problems instead of one
+    (P*C, P*C) matrix — C x less IoU work (the cross-class blocks of the
+    big matrix are never suppressors by construction)."""
+    cc = boxes.shape[1]
+    keeps = [nms_mask(boxes[:, c], scores[:, c], valid[:, c],
+                      iou_threshold, exact) for c in range(cc)]
+    return jnp.stack(keeps, axis=1)
 
 
 def top_k_by_score(scores: jax.Array, valid: jax.Array, k: int):
@@ -76,11 +126,10 @@ def top_k_by_score(scores: jax.Array, valid: jax.Array, k: int):
 # ------------------------------------------------------- batch-native NMS
 #
 # A `jax.vmap` of the single-image functions above works but lowers the
-# index ops (argsort gather, the unsort scatter, box gathers) to *batched*
-# gathers/scatters, which XLA executes far slower on TPU than flat ones
-# (~+18% detector latency at batch 25).  The batch-native versions below
-# keep every indexed access a flat gather with per-row offsets and use
-# `lax.top_k`'s native batching.
+# index ops (box gathers) to *batched* gathers, which XLA executes far
+# slower on TPU than flat ones (~+18% detector latency at batch 25).  The
+# batch-native versions below keep every indexed access a flat gather with
+# per-row offsets and use `lax.top_k`'s native batching.
 
 
 def gather_rows(x: jax.Array, idx: jax.Array) -> jax.Array:

@@ -149,6 +149,65 @@ class TestNMS:
                                            jnp.ones(2, bool), 0.3))
         assert keep.all()
 
+    def test_exact_fixpoint_handles_chains(self):
+        # A suppression chain: box0 kills box1, box1 (suppressed) would have
+        # killed box2 — exact NMS must keep {0, 2}; fast NMS keeps {0} only.
+        boxes = jnp.array([[0, 0, 10, 10], [5, 0, 15, 10], [10, 0, 20, 10]],
+                          jnp.float32)
+        scores = jnp.array([0.9, 0.8, 0.7])
+        keep = np.asarray(nms_mask(boxes, scores, jnp.ones(3, bool), 0.3,
+                                   exact=True))
+        assert keep.tolist() == [True, False, True]
+        fast = np.asarray(nms_mask(boxes, scores, jnp.ones(3, bool), 0.3,
+                                   exact=False))
+        assert fast.tolist() == [True, False, False]
+
+    def test_tie_break_by_index(self):
+        # Equal scores: the lower original index ranks higher (stable
+        # descending sort order), for both exact and fast variants.
+        boxes = jnp.array([[0, 0, 10, 10], [1, 0, 11, 10]], jnp.float32)
+        scores = jnp.array([0.5, 0.5])
+        for exact in (True, False):
+            keep = np.asarray(nms_mask(boxes, scores, jnp.ones(2, bool),
+                                       0.3, exact=exact))
+            assert keep.tolist() == [True, False]
+
+    def test_classwise_matches_flat_offset_trick(self):
+        from mot3d_tpu.ops.nms import classwise_nms_mask
+        for seed in range(4):
+            rng = np.random.default_rng(seed)
+            p, cc = 24, 3
+            xy = rng.uniform(0, 80, size=(p, cc, 2))
+            wh = rng.uniform(5, 50, size=(p, cc, 2))
+            boxes = np.concatenate([xy, xy + wh], -1).astype(np.float32)
+            scores = rng.uniform(size=(p, cc)).astype(np.float32)
+            valid = rng.uniform(size=(p, cc)) < 0.8
+            flat_cls = jnp.tile(jnp.arange(cc, dtype=jnp.int32), p)
+            for exact in (True, False):
+                kw = np.asarray(classwise_nms_mask(
+                    jnp.array(boxes), jnp.array(scores), jnp.array(valid),
+                    0.4, exact)).reshape(-1)
+                kf = np.asarray(batched_nms_mask(
+                    jnp.array(boxes.reshape(-1, 4)),
+                    jnp.array(scores.reshape(-1)), flat_cls,
+                    jnp.array(valid.reshape(-1)), 0.4, exact))
+                np.testing.assert_array_equal(kw, kf)
+
+    def test_exact_randomised_vs_oracle_dense(self):
+        # Heavier overlap density than test_matches_oracle: long chains
+        # exercise the fixpoint iteration rather than one-step convergence.
+        for seed in range(6):
+            rng = np.random.default_rng(100 + seed)
+            n = 80
+            xy = rng.uniform(0, 40, size=(n, 2))
+            wh = rng.uniform(10, 30, size=(n, 2))
+            boxes = np.concatenate([xy, xy + wh], 1).astype(np.float32)
+            scores = rng.uniform(size=n).astype(np.float32)
+            keep = np.asarray(nms_mask(jnp.array(boxes), jnp.array(scores),
+                                       jnp.ones(n, bool), 0.5))
+            assert sorted(np.nonzero(keep)[0].tolist()) == \
+                nms_oracle(boxes, scores, 0.5)
+
     def test_top_k(self):
         scores = jnp.array([0.1, 0.9, 0.5, 0.7])
         valid = jnp.array([True, False, True, True])
