@@ -110,21 +110,76 @@ def _parse(argv: List[str]):
     return args, [o for o in overrides if "=" in o]
 
 
-def _load_h5_sequences(path: str, cfg: Config):
-    from mot3d_tpu.data.h5_io import read_frame_h5, pad_sequence
-    seqs = []
+def _read_h5_scenes(path: str):
+    """Per-scene lists of frame records from an exported .h5 directory."""
+    from mot3d_tpu.data.h5_io import read_frame_h5
+    per_scene = []
     for scene in sorted(os.listdir(path)):
         sdir = os.path.join(path, scene)
         if not os.path.isdir(sdir):
             continue
         files = sorted((f for f in os.listdir(sdir) if f.endswith(".h5")),
                        key=lambda f: int(f.split(".")[0]))
-        frames = [read_frame_h5(os.path.join(sdir, f)) for f in files]
-        padded = pad_sequence(frames, cfg.tracking.max_instances_per_frame,
-                              cfg.tracking.max_instances_per_frame)
-        padded["gt_classes"] = padded["gt_classes"]
-        seqs.append(padded)
-    return seqs
+        per_scene.append([read_frame_h5(os.path.join(sdir, f))
+                          for f in files])
+    if not per_scene:
+        raise FileNotFoundError(f"no scene directories with .h5 frames "
+                                f"under {path}")
+    return per_scene
+
+
+def _pad_h5_sequences(datasets, cfg: Config):
+    """Pad raw scenes (list of datasets, each a list of per-scene frame
+    lists) to one common frame count and adapt `tracking.seq_len` to it.
+
+    The graph template is static in seq_len: shorter scenes are
+    frame-padded with det_valid=False (their edges are masked), and a
+    dataset longer than the configured length grows the template —
+    otherwise the template would index frames the arrays don't have."""
+    import dataclasses
+    from mot3d_tpu.data.h5_io import pad_sequence
+    seq_len = max(len(frames) for ds in datasets for frames in ds)
+    if seq_len != cfg.tracking.seq_len:
+        print(f"note: dataset sequences have up to {seq_len} frames; using "
+              f"tracking.seq_len={seq_len} "
+              f"(config had {cfg.tracking.seq_len})")
+        cfg = cfg.replace(tracking=dataclasses.replace(
+            cfg.tracking, seq_len=seq_len))
+    i = cfg.tracking.max_instances_per_frame
+    padded = [[pad_sequence(frames, i, i, seq_len=seq_len)
+               for frames in ds] for ds in datasets]
+    return padded, cfg
+
+
+def _load_h5_sequences(path: str, cfg: Config):
+    """Load one exported .h5 directory; returns (sequences, adapted cfg)."""
+    (seqs,), cfg = _pad_h5_sequences([_read_h5_scenes(path)], cfg)
+    return seqs, cfg
+
+
+def _ckpt_dir(path: str) -> str:
+    """Accept either a trainer output dir or its ckpt/ subdir (trainers
+    save under `<out>/ckpt`; users naturally pass `<out>`)."""
+    sub = os.path.join(path, "ckpt")
+    return sub if os.path.isdir(sub) else path
+
+
+def _restore_or_die(trainer, ckpt_path: str, metric: str):
+    """Restore a trainer state from `ckpt_path` — best-by-metric when
+    recorded, else latest — and REFUSE to continue with random weights."""
+    from mot3d_tpu.train.checkpoints import CheckpointManager
+    mgr = CheckpointManager(_ckpt_dir(ckpt_path))
+    restored = (mgr.restore_best(metric, trainer.state)
+                if metric in mgr.best else mgr.restore(trainer.state))
+    if restored is None:
+        raise SystemExit(
+            f"no checkpoint found under {ckpt_path} (looked in "
+            f"{_ckpt_dir(ckpt_path)}); refusing to evaluate random weights")
+    trainer.ckpt = mgr
+    trainer.state = restored
+    step = int(restored.step)
+    which = f"best-{metric}" if metric in mgr.best else "latest"
+    print(f"restored {which} checkpoint at step {step}")
 
 
 def _init_detector(cfg: Config, ckpt: str | None):
@@ -143,7 +198,7 @@ def _init_detector(cfg: Config, ckpt: str | None):
         import optax
         from mot3d_tpu.train.checkpoints import CheckpointManager
         from mot3d_tpu.train.detection_trainer import DetectionTrainState
-        mgr = CheckpointManager(ckpt)
+        mgr = CheckpointManager(_ckpt_dir(ckpt))
         opt = optax.adamw(cfg.combined.detection_lr,
                           weight_decay=cfg.combined.detection_weight_decay)
         template = DetectionTrainState(params, opt.init(params),
@@ -168,22 +223,19 @@ def main(argv=None):
 
     if args.cmd == "train-tracking":
         from mot3d_tpu.train.tracking_trainer import TrackingTrainer
+        (train, val), cfg = _pad_h5_sequences(
+            [_read_h5_scenes(args.data), _read_h5_scenes(args.val_data)],
+            cfg)
         trainer = TrackingTrainer(cfg, output_dir=args.out)
-        train = _load_h5_sequences(args.data, cfg)
-        val = _load_h5_sequences(args.val_data, cfg)
         result = trainer.train(train, val, num_epochs=args.epochs)
         print(result)
 
     elif args.cmd == "infer-tracking":
         from mot3d_tpu.train.tracking_trainer import TrackingTrainer
-        from mot3d_tpu.train.checkpoints import CheckpointManager
+        seqs, cfg = _load_h5_sequences(args.data, cfg)
         trainer = TrackingTrainer(cfg, output_dir=args.out)
-        trainer.ckpt = CheckpointManager(args.ckpt)
         trainer.init_state(None)
-        restored = trainer.ckpt.restore(trainer.state)
-        if restored is not None:
-            trainer.state = restored
-        seqs = _load_h5_sequences(args.data, cfg)
+        _restore_or_die(trainer, args.ckpt, "mota")
         trainer.inference(seqs, classwise=True,
                           export_dir=os.path.join(args.out, "vis")
                           if args.export_vis else None)
@@ -198,23 +250,20 @@ def main(argv=None):
             use_triplet=args.use_triplet or s.use_triplet,
             use_l1=args.use_l1 or s.use_l1)
         cfg = cfg.replace(siamese=s)
+        (train, val), cfg = _pad_h5_sequences(
+            [_read_h5_scenes(args.data), _read_h5_scenes(args.val_data)],
+            cfg)
         trainer = SiameseTrainer(cfg, output_dir=args.out)
-        train = _load_h5_sequences(args.data, cfg)
-        val = _load_h5_sequences(args.val_data, cfg)
         print(trainer.train(train, val, num_epochs=args.epochs,
                             precompute=args.precompute,
                             cache_dir=args.cache_dir))
 
     elif args.cmd == "infer-siamese":
-        from mot3d_tpu.train.checkpoints import CheckpointManager
         from mot3d_tpu.train.siamese_trainer import SiameseTrainer
+        seqs, cfg = _load_h5_sequences(args.data, cfg)
         trainer = SiameseTrainer(cfg, output_dir=args.out)
-        trainer.ckpt = CheckpointManager(args.ckpt)
         trainer.init_state()
-        restored = trainer.ckpt.restore(trainer.state)
-        if restored is not None:
-            trainer.state = restored
-        seqs = _load_h5_sequences(args.data, cfg)
+        _restore_or_die(trainer, args.ckpt, "mota")
         trainer.inference(seqs, classwise=True,
                           export_dir=os.path.join(args.out, "vis")
                           if args.export_vis else None)

@@ -97,13 +97,18 @@ def read_frame_h5(path: str) -> FrameDetections:
         )
 
 
-def pad_sequence(frames, max_instances: int, max_gt: int):
+def pad_sequence(frames, max_instances: int, max_gt: int,
+                 seq_len: int | None = None):
     """Ragged frame records -> the padded tensor dict the graph builder eats.
 
     Returns a dict of (T, ...) numpy arrays matching
     `mot3d_tpu.data.synthetic.SyntheticSequence` field names.
+
+    seq_len: when given, pad the frame axis up to it (padded frames carry
+    det_valid/gt_valid False, so graph edges touching them are masked) —
+    every sequence fed to one graph template must share its T.
     """
-    T = len(frames)
+    T = max(len(frames), seq_len or 0)
     I, G = max_instances, max_gt
     out = {
         "det_valid": np.zeros((T, I), bool),

@@ -45,6 +45,12 @@ class Tracker:
                  ) -> List[List[dict]]:
         """Predicted trajectories: list of [{scan_idx, obj_idx, loc, cls}]."""
         T, I = det_valid.shape
+        t_tmpl = int(template.dst_frame.max()) + 1
+        if t_tmpl > T:
+            raise ValueError(
+                f"graph template spans {t_tmpl} frames but detections have "
+                f"{T}; build the template with seq_len={T} or frame-pad the "
+                f"sequence (data.h5_io.pad_sequence(..., seq_len=...))")
         thresh = self.cfg.edge_threshold
 
         # Detections entering the track graph per frame, via positive

@@ -79,6 +79,19 @@ class TestH5Interchange:
                                    frames[0].translations)
         assert (padded["gt_ids"][0, 2:] == -1).all()
 
+    def test_pad_sequence_frame_padding(self):
+        # seq_len pads the FRAME axis with fully-invalid frames so short
+        # scenes fit a longer static graph template.
+        frames = [make_frame(n) for n in (2, 1)]
+        padded = pad_sequence(frames, max_instances=4, max_gt=4, seq_len=5)
+        assert padded["det_valid"].shape == (5, 4)
+        assert padded["det_valid"][2:].sum() == 0
+        assert padded["gt_valid"][2:].sum() == 0
+        assert (padded["gt_ids"][2:] == -1).all()
+        # seq_len shorter than the data never truncates.
+        padded = pad_sequence(frames, max_instances=4, max_gt=4, seq_len=1)
+        assert padded["det_valid"].shape == (2, 4)
+
 
 class TestBinvox:
     def test_roundtrip(self, tmp_path):

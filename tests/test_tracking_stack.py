@@ -495,3 +495,18 @@ class TestAssembleEquivalence:
                     assert da["obj_idx"] == db["obj_idx"], seed
                     assert da["cls"] == db["cls"], seed
                     np.testing.assert_array_equal(da["loc"], db["loc"])
+
+    def test_template_longer_than_sequence_raises(self):
+        # A 25-frame template over 8-frame arrays must fail loudly, not
+        # index-clamp (the CLI avoids this by frame-padding, cli.py
+        # _pad_h5_sequences).
+        import pytest
+        template = make_template(TCFG.seq_len, TCFG.max_instances_per_frame,
+                                 TCFG.max_frame_dist)
+        e = len(template.src_frame)
+        T, I = TCFG.seq_len - 1, TCFG.max_instances_per_frame
+        tracker = Tracker(TCFG)
+        with pytest.raises(ValueError, match="template spans"):
+            tracker.assemble(template, np.zeros(e), np.zeros((T, I), int),
+                             np.zeros((T, I), bool), np.zeros((T, I, 3)),
+                             np.zeros((T, I), int))
