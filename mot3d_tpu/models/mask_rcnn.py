@@ -80,29 +80,37 @@ class Detections(NamedTuple):
 class BoxHead(nn.Module):
     num_classes: int
     width: int = 1024
+    dtype: object = None    # computation dtype (params stay f32)
 
     @nn.compact
     def __call__(self, pooled):  # (N, 7, 7, 256)
         x = pooled.reshape(pooled.shape[0], -1)
-        x = jax.nn.relu(nn.Dense(self.width)(x))
-        x = jax.nn.relu(nn.Dense(self.width)(x))
-        cls_logits = nn.Dense(self.num_classes + 1, name="cls")(x)
-        deltas = nn.Dense(self.num_classes * 4, name="box")(x)
+        x = jax.nn.relu(nn.Dense(self.width, dtype=self.dtype)(x))
+        x = jax.nn.relu(nn.Dense(self.width, dtype=self.dtype)(x))
+        # Logits/deltas feed softmax thresholds + box decoding: f32 out.
+        cls_logits = nn.Dense(self.num_classes + 1, name="cls",
+                              dtype=self.dtype)(x).astype(jnp.float32)
+        deltas = nn.Dense(self.num_classes * 4, name="box",
+                          dtype=self.dtype)(x).astype(jnp.float32)
         return cls_logits, deltas.reshape(-1, self.num_classes, 4)
 
 
 class MaskHead(nn.Module):
     num_classes: int
     width: int = 256
+    dtype: object = None
 
     @nn.compact
     def __call__(self, pooled):  # (N, 14, 14, C)
         x = pooled
         for i in range(4):
-            x = jax.nn.relu(nn.Conv(self.width, (3, 3), padding=1)(x))
+            x = jax.nn.relu(nn.Conv(self.width, (3, 3), padding=1,
+                                    dtype=self.dtype)(x))
         x = jax.nn.relu(
-            nn.ConvTranspose(self.width, (2, 2), strides=(2, 2))(x))  # 28x28
-        return nn.Conv(self.num_classes, (1, 1))(x)  # (N, 28, 28, C) logits
+            nn.ConvTranspose(self.width, (2, 2), strides=(2, 2),
+                             dtype=self.dtype)(x))  # 28x28
+        return nn.Conv(self.num_classes, (1, 1),
+                       dtype=self.dtype)(x).astype(jnp.float32)
 
 
 class MaskRCNN(nn.Module):
@@ -114,14 +122,15 @@ class MaskRCNN(nn.Module):
         bb_dtype = (_jnp.bfloat16 if c.compute_dtype == "bfloat16" else None)
         self.backbone = ResNetFPN(c.backbone_depth, c.fpn_channels,
                                   c.backbone_width, bb_dtype)
-        self.rpn_head = RPNHead(len(c.anchor_ratios))
-        self.box_head = BoxHead(c.num_classes, c.box_head_width)
-        self.mask_head = MaskHead(c.num_classes, c.mask_head_width)
+        self.rpn_head = RPNHead(len(c.anchor_ratios), bb_dtype)
+        self.box_head = BoxHead(c.num_classes, c.box_head_width, bb_dtype)
+        self.mask_head = MaskHead(c.num_classes, c.mask_head_width, bb_dtype)
         if c.voxel_on:
-            self.voxel_head = Pix2VoxDecoder(c.head_width_mult)
+            self.voxel_head = Pix2VoxDecoder(c.head_width_mult, bb_dtype)
         if c.nocs_on:
-            self.nocs_head = (NocsBinDecoder(c.nocs_num_bins)
-                              if c.nocs_use_bin_loss else NocsDecoder())
+            self.nocs_head = (NocsBinDecoder(c.nocs_num_bins, bb_dtype)
+                              if c.nocs_use_bin_loss
+                              else NocsDecoder(bb_dtype))
 
     # ------------------------------------------------------------ helpers
 

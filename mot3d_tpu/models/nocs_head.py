@@ -28,16 +28,21 @@ from flax import linen as nn
 class NocsDecoder(nn.Module):
     """(N, 14, 14, 256) -> (N, 28, 28, 3) in [0, 1] (regression mode)."""
 
+    dtype: object = None    # computation dtype (params stay f32)
+
     @nn.compact
     def __call__(self, x):
-        x = nn.ConvTranspose(256, (3, 3), padding="SAME")(x)
-        x = jax.nn.relu(nn.GroupNorm(32)(x))
-        x = nn.ConvTranspose(128, (3, 3), padding="SAME")(x)
-        x = jax.nn.relu(nn.GroupNorm(32)(x))
-        x = nn.ConvTranspose(64, (4, 4), strides=(2, 2), padding="SAME")(x)
-        x = jax.nn.relu(nn.GroupNorm(32)(x))
-        x = nn.ConvTranspose(3, (3, 3), padding="SAME")(x)
-        return jax.nn.sigmoid(x)
+        x = nn.ConvTranspose(256, (3, 3), padding="SAME",
+                             dtype=self.dtype)(x)
+        x = jax.nn.relu(nn.GroupNorm(32, dtype=self.dtype)(x))
+        x = nn.ConvTranspose(128, (3, 3), padding="SAME",
+                             dtype=self.dtype)(x)
+        x = jax.nn.relu(nn.GroupNorm(32, dtype=self.dtype)(x))
+        x = nn.ConvTranspose(64, (4, 4), strides=(2, 2), padding="SAME",
+                             dtype=self.dtype)(x)
+        x = jax.nn.relu(nn.GroupNorm(32, dtype=self.dtype)(x))
+        x = nn.ConvTranspose(3, (3, 3), padding="SAME", dtype=self.dtype)(x)
+        return jax.nn.sigmoid(x.astype(jnp.float32))
 
 
 class NocsBinDecoder(nn.Module):
@@ -45,20 +50,21 @@ class NocsBinDecoder(nn.Module):
     logits, one transposed-conv tower per coordinate channel."""
 
     num_bins: int = 32
+    dtype: object = None    # computation dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x):
         outs = []
         for ch in ("r", "g", "b"):
             t = nn.ConvTranspose(128, (3, 3), padding="SAME",
-                                 name=f"l1_{ch}")(x)
-            t = jax.nn.relu(nn.GroupNorm(32)(t))
+                                 name=f"l1_{ch}", dtype=self.dtype)(x)
+            t = jax.nn.relu(nn.GroupNorm(32, dtype=self.dtype)(t))
             t = nn.ConvTranspose(64, (4, 4), strides=(2, 2), padding="SAME",
-                                 name=f"l2_{ch}")(t)
-            t = jax.nn.relu(nn.GroupNorm(32)(t))
+                                 name=f"l2_{ch}", dtype=self.dtype)(t)
+            t = jax.nn.relu(nn.GroupNorm(32, dtype=self.dtype)(t))
             t = nn.ConvTranspose(self.num_bins, (3, 3), padding="SAME",
-                                 name=f"l3_{ch}")(t)
-            outs.append(t)
+                                 name=f"l3_{ch}", dtype=self.dtype)(t)
+            outs.append(t.astype(jnp.float32))
         return jnp.stack(outs, axis=-2)  # (N, 28, 28, 3, bins)
 
 

@@ -113,18 +113,23 @@ def smooth_l1(x: jax.Array, beta: float = 0.0) -> jax.Array:
 
 class RPNHead(nn.Module):
     num_anchors: int
+    dtype: object = None    # computation dtype (params stay f32)
 
     @nn.compact
     def __call__(self, feats: Sequence[jax.Array]):
-        conv = nn.Conv(feats[0].shape[-1], (3, 3), padding=1, name="conv")
-        obj_head = nn.Conv(self.num_anchors, (1, 1), name="objectness")
-        box_head = nn.Conv(self.num_anchors * 4, (1, 1), name="deltas")
+        conv = nn.Conv(feats[0].shape[-1], (3, 3), padding=1, name="conv",
+                       dtype=self.dtype)
+        obj_head = nn.Conv(self.num_anchors, (1, 1), name="objectness",
+                           dtype=self.dtype)
+        box_head = nn.Conv(self.num_anchors * 4, (1, 1), name="deltas",
+                           dtype=self.dtype)
         objs, deltas = [], []
         for f in feats:
             t = jax.nn.relu(conv(f))
             b = f.shape[0]
-            objs.append(obj_head(t).reshape(b, -1))
-            deltas.append(box_head(t).reshape(b, -1, 4))
+            # Objectness/deltas feed box decoding + NMS thresholds: f32.
+            objs.append(obj_head(t).reshape(b, -1).astype(jnp.float32))
+            deltas.append(box_head(t).reshape(b, -1, 4).astype(jnp.float32))
         return jnp.concatenate(objs, 1), jnp.concatenate(deltas, 1)
 
 

@@ -24,6 +24,7 @@ class Pix2VoxDecoder(nn.Module):
     """(N, 14, 14, C) pooled features -> (N, 32, 32, 32) occupancy logits."""
 
     width_mult: float = 1.0
+    dtype: object = None    # computation dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x):
@@ -34,21 +35,22 @@ class Pix2VoxDecoder(nn.Module):
             return max(8, int(c * self.width_mult))
 
         def gn(t):
-            return nn.GroupNorm(min(8, t.shape[-1]))(t)
+            return nn.GroupNorm(min(8, t.shape[-1]), dtype=self.dtype)(t)
 
-        vol = nn.ConvTranspose(w(512), (3, 3, 3), padding="SAME")(vol)
+        def ct(ch, k, **kw):
+            return nn.ConvTranspose(ch, k, padding="SAME", dtype=self.dtype,
+                                    **kw)
+
+        vol = ct(w(512), (3, 3, 3))(vol)
         vol = jax.nn.relu(gn(vol))
-        vol = nn.ConvTranspose(w(128), (4, 4, 4), strides=(2, 2, 2),
-                               padding="SAME")(vol)
+        vol = ct(w(128), (4, 4, 4), strides=(2, 2, 2))(vol)
         vol = jax.nn.relu(gn(vol))
-        vol = nn.ConvTranspose(w(32), (4, 4, 4), strides=(2, 2, 2),
-                               padding="SAME")(vol)
+        vol = ct(w(32), (4, 4, 4), strides=(2, 2, 2))(vol)
         vol = jax.nn.relu(gn(vol))
-        vol = nn.ConvTranspose(w(8), (4, 4, 4), strides=(2, 2, 2),
-                               padding="SAME")(vol)
+        vol = ct(w(8), (4, 4, 4), strides=(2, 2, 2))(vol)
         vol = jax.nn.relu(gn(vol))
-        vol = nn.ConvTranspose(1, (1, 1, 1), padding="SAME")(vol)
-        return vol[..., 0]
+        vol = ct(1, (1, 1, 1))(vol)
+        return vol[..., 0].astype(jnp.float32)  # logits feed losses: f32
 
 
 def voxel_loss(pred_logits: jax.Array, gt_voxels: jax.Array,
