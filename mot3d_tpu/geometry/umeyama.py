@@ -241,35 +241,86 @@ def ransac_umeyama(source: jax.Array, target: jax.Array, valid: jax.Array,
     n = source.shape[0]
     n_valid = jnp.maximum(valid.sum(), 1)
 
-    # Draw iters x sample_size indices uniformly over the *valid* points:
-    # u in [0, n_valid) mapped through a compaction table (valid indices
-    # first, raster order).  Built with cumsum + scatter rather than
-    # argsort(~valid): a full 1024-key sort per detection measured ~2x the
-    # cost of the entire hypothesis fit on v5e; slots >= n_valid are never
-    # drawn (u % n_valid), so dropping invalid entries is exact.
-    slot = jnp.where(valid, jnp.cumsum(valid) - 1, n)
-    valid_idx_table = jnp.zeros((n,), jnp.int32).at[slot].set(
-        jnp.arange(n, dtype=jnp.int32), mode="drop")
     u = jax.random.randint(key, (iters, sample_size), 0, jnp.iinfo(jnp.int32).max)
-    draw = valid_idx_table[(u % n_valid).astype(jnp.int32)]
+    rank = (u % n_valid).astype(jnp.int32)                # (iters, S)
 
     if method == "quat":
-        # Scalar (structure-of-arrays) hot path: fits and residuals stay in
-        # (iters,)/(iters, N) component arrays — a (iters, 3, 3)-shaped
-        # pipeline pads every matrix to an (8, 128) TPU tile and measured
-        # ~3x the whole solver's ideal cost under the pose vmap.
-        s_pts = source[draw]                              # (iters, S, 3)
-        t_pts = target[draw]
-        sc = tuple(s_pts[..., j] for j in range(3))       # (iters, S) each
-        tc = tuple(t_pts[..., j] for j in range(3))
-        w = jnp.ones(draw.shape, source.dtype)
-        scale, rstar, trans = _umeyama_fit_scalars(sc, tc, w)
+        # Moment-matmul hot path.  The earlier gather form (compaction
+        # table -> point gathers -> scalar fits -> (iters, N) residual
+        # reduction) measured ~13 ms at bench shapes (400 detections x 100
+        # hypotheses), dominated by the table scatter and the batched
+        # gathers, NOT by the fit math.  This formulation has no gathers at
+        # all: every fit statistic is a sum over the drawn multiset, i.e.
+        # one (iters, N) selection-count matrix times an (N, 18) feature
+        # matrix — a single MXU matmul — and hypothesis scoring is a
+        # closed-form quadratic in the fitted transform, so the (iters, N)
+        # residual matrix is never materialised either.
+        dt = source.dtype
+        v_f = valid.astype(dt)
+        nv = n_valid.astype(dt)
+        # rank_pt[n] = rank of point n among valid points (raster order);
+        # drawing rank r selects the same point the compaction table did.
+        rank_pt = jnp.where(valid, jnp.cumsum(valid) - 1, -1)  # (N,)
+        # W[h, n] = multiplicity of point n in hypothesis h's 10-point draw.
+        w_sel = sum((rank[:, s, None] == rank_pt[None, :]).astype(dt)
+                    for s in range(sample_size))          # (iters, N)
 
-        # Residuals, component form: transformed_j = s sum_i p_i r*_ji + t_j
-        # (see apply_similarity).  Two passes: (1) per-hypothesis residual
-        # norms as one fused (iters, N) -> (iters,) reduction — the
-        # (iters, N) intermediate is never kept; (2) the per-point inlier
-        # test recomputed for the best hypothesis only ((N,) arrays).
+        # Centre both clouds by their global valid centroids: covariance /
+        # scale are shift-invariant (per-hypothesis means are subtracted),
+        # and centred second moments avoid the E[st] - E[s]E[t]
+        # cancellation that raw moments would suffer in f32.
+        cs = [(source[:, j] * v_f).sum() / nv for j in range(3)]
+        ct = [(target[:, j] * v_f).sum() / nv for j in range(3)]
+        sx = [jnp.where(valid, source[:, j] - cs[j], 0.0) for j in range(3)]
+        tx = [jnp.where(valid, target[:, j] - ct[j], 0.0) for j in range(3)]
+
+        # Features: everything a weighted Umeyama fit needs, per point.
+        feats = (sx + tx + [sx[j] * sx[j] for j in range(3)]
+                 + [tx[i] * sx[j] for i in range(3) for j in range(3)])
+        fmat = jnp.stack(feats, axis=-1)                  # (N, 18)
+        mom = w_sel @ fmat                                # (iters, 18) MXU
+        s_n = jnp.asarray(float(sample_size), dt)
+        mus = [mom[:, j] / s_n for j in range(3)]
+        mut = [mom[:, 3 + j] / s_n for j in range(3)]
+        cov = [[mom[:, 9 + 3 * i + j] / s_n - mut[i] * mus[j]
+                for j in range(3)] for i in range(3)]
+        var_s = sum(mom[:, 6 + j] / s_n - mus[j] ** 2 for j in range(3))
+        rstar = _horn_rstar_scalars(cov)
+        trace = sum(rstar[i][j] * cov[i][j]
+                    for i in range(3) for j in range(3))
+        degenerate = (var_s * trace) == 0.0
+        scale = jnp.where(degenerate, 1.0,
+                          trace / jnp.maximum(var_s, 1e-20))
+        # Translation in centred coordinates; uncentred only for the winner.
+        tau = [mut[j] - scale * sum(rstar[j][i] * mus[i] for i in range(3))
+               for j in range(3)]
+
+        # Closed-form residual norm: with A_j = [s r*_j0, s r*_j1, s r*_j2,
+        # tau_j] and P = [sx; sy; sz; v] (4, N) masked-centred homogeneous
+        # points,  sum_n v r_n^2 = sum_j (c_j - 2 A_j.B_j + A_j M A_j^T)
+        # where M = P P^T (4x4), B = T~ P^T (3x4), c_j = sum v tx_j^2 —
+        # all per-detection constants, so scoring is ~60 lane flops per
+        # hypothesis instead of an (iters, N) pass.
+        p_h = jnp.stack(sx + [v_f], axis=0)               # (4, N)
+        m_q = p_h @ p_h.T                                 # (4, 4)
+        t_m = jnp.stack(tx, axis=0)                       # (3, N)
+        b_q = t_m @ p_h.T                                 # (3, 4)
+        c_q = [(tx[j] ** 2).sum() for j in range(3)]
+
+        def a_row(j):
+            return [scale * rstar[j][0], scale * rstar[j][1],
+                    scale * rstar[j][2], tau[j]]
+
+        rsq_total = 0.0
+        for j in range(3):
+            a = a_row(j)
+            quad = sum(a[k] * a[l] * m_q[k, l]
+                       for k in range(4) for l in range(4))
+            rsq_total = rsq_total + c_q[j] - 2.0 * sum(
+                a[k] * b_q[j, k] for k in range(4)) + quad
+        model_res = jnp.sqrt(jnp.maximum(rsq_total, 0.0))  # (iters,)
+
+        # Winner's per-point inlier test needs the uncentred transform.
         px = [source[:, j] for j in range(3)]             # (N,)
 
         def rsq_of(sc_h, rs_h, tr_h):
@@ -283,9 +334,15 @@ def ransac_umeyama(source: jax.Array, target: jax.Array, valid: jax.Array,
                 r = r + (target[:, j] - tj) ** 2
             return jnp.where(valid, r, 0.0)
 
-        model_res = jnp.sqrt(rsq_of(scale, rstar, trans).sum(-1))  # (iters,)
         pass_sq = jnp.square(pass_threshold)
     else:
+        # Compaction table draw for the svd reference path (slow; kept as
+        # the bit-closest-to-reference oracle).
+        slot = jnp.where(valid, jnp.cumsum(valid) - 1, n)
+        valid_idx_table = jnp.zeros((n,), jnp.int32).at[slot].set(
+            jnp.arange(n, dtype=jnp.int32), mode="drop")
+        draw = valid_idx_table[rank]
+
         def fit(idx):
             w = jnp.ones((sample_size,), source.dtype)
             return umeyama_similarity(source[idx], target[idx], w, method)
@@ -314,10 +371,13 @@ def ransac_umeyama(source: jax.Array, target: jax.Array, valid: jax.Array,
     # residual < pass  <=>  residual^2 < pass^2 (thresholds are positive).
     if method == "quat":
         take = lambda x: x[best]
-        rsq_best = rsq_of(take(scale),
-                          [[take(rstar[i][j]) for j in range(3)]
-                           for i in range(3)],
-                          [take(trans[j]) for j in range(3)])
+        rs_b = [[take(rstar[i][j]) for j in range(3)] for i in range(3)]
+        sc_b = take(scale)
+        # Uncentre: t_actual = tau + ct - s R* cs (fits ran on centred data).
+        tr_b = [take(tau[j]) + ct[j]
+                - sc_b * sum(rs_b[j][i] * cs[i] for i in range(3))
+                for j in range(3)]
+        rsq_best = rsq_of(sc_b, rs_b, tr_b)
     else:
         rsq_best = rsq_all[best]
     inliers = jnp.logical_and(rsq_best < pass_sq, valid)
