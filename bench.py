@@ -84,7 +84,9 @@ def chip_peak_flops(dtype: str) -> float:
 
 
 def main():
-    num_seqs = int(os.environ.get("BENCH_SEQS", "4"))
+    # 16 sequences ≈ 1 s of device work: enough for dispatch pipelining to
+    # reach steady state (4 sequences measured ~15% low run-to-run).
+    num_seqs = int(os.environ.get("BENCH_SEQS", "16"))
     skip_detector = os.environ.get("BENCH_SKIP_DETECTOR", "0") == "1"
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     fused = os.environ.get("BENCH_FUSED", "1") == "1"

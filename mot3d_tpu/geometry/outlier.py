@@ -18,13 +18,23 @@ import jax.numpy as jnp
 from mot3d_tpu.ops.precision import high_precision
 
 
+def _auto_impl() -> str:
+    """Kernel on real TPU backends, XLA elsewhere (CPU tests, interpret)."""
+    try:
+        platform = jax.default_backend()
+    except Exception:  # pragma: no cover - backend not initialised
+        platform = "cpu"
+    return "pallas" if platform in ("tpu", "axon") else "xla"
+
+
 @high_precision
 def statistical_outlier_mask(points: jax.Array, valid: jax.Array,
                              nb_neighbors: int = 20,
                              std_ratio: float = 2.0,
                              min_points: int = 100,
                              approx: bool = True,
-                             candidates: int = 0) -> jax.Array:
+                             candidates: int = 0,
+                             impl: str = "auto") -> jax.Array:
     """Return the kept-point mask (N,) for a padded point buffer (N, 3).
 
     Matches open3d semantics: threshold = mean + std_ratio * sample-std of the
@@ -44,6 +54,30 @@ def statistical_outlier_mask(points: jax.Array, valid: jax.Array,
     """
     n = points.shape[0]
     valid = valid.astype(bool)
+
+    if impl == "auto":
+        impl = _auto_impl()
+    if impl in ("pallas", "pallas_interpret"):
+        # Fused VMEM-resident kernel: the (N, C) distance matrix never
+        # touches HBM (ops/pallas/knn_outlier.py); exact k-NN instead of
+        # the XLA path's approx_max_k.
+        from mot3d_tpu.ops.pallas.knn_outlier import knn_mean_dists_pallas
+        if candidates and candidates < n:
+            cols = (jnp.arange(candidates) * n + n // 2) // candidates
+            k = max(1, round(nb_neighbors * candidates / n))
+        else:
+            cols = jnp.arange(n)
+            k = nb_neighbors
+        k = min(k, cols.shape[0] - 1)
+        # The kept mask is a non-differentiable selection (reference
+        # semantics); stop_gradient keeps autodiff from ever tracing into
+        # the kernel, which defines no VJP.
+        pts_ng = jax.lax.stop_gradient(points)
+        mean_knn = knn_mean_dists_pallas(
+            pts_ng, pts_ng[cols], valid[cols], cols, k,
+            interpret=(impl == "pallas_interpret"))
+        return _threshold_keep(mean_knn, valid, std_ratio, min_points)
+
     sq = (points ** 2).sum(-1)
 
     if candidates and candidates < n:
@@ -84,7 +118,13 @@ def statistical_outlier_mask(points: jax.Array, valid: jax.Array,
     finite = jnp.isfinite(knn_d)
     cnt = jnp.maximum(finite.sum(-1), 1)
     mean_knn = jnp.where(finite, knn_d, 0.0).sum(-1) / cnt  # (N,)
+    return _threshold_keep(mean_knn, valid, std_ratio, min_points)
 
+
+def _threshold_keep(mean_knn: jax.Array, valid: jax.Array, std_ratio: float,
+                    min_points: int) -> jax.Array:
+    """open3d rule: drop points whose mean-kNN distance exceeds
+    mean + std_ratio * sample-std (over valid points)."""
     n_valid = jnp.maximum(valid.sum(), 1)
     mu = jnp.where(valid, mean_knn, 0.0).sum() / n_valid
     var = jnp.where(valid, (mean_knn - mu) ** 2, 0.0).sum() / jnp.maximum(n_valid - 1, 1)

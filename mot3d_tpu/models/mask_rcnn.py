@@ -316,13 +316,19 @@ class MaskRCNN(nn.Module):
             pooled7_i = multilevel_roi_align_packed(
                 [f[i] for f in feats4], pb_i, c.box_pooler_resolution,
                 STRIDES)
-            per_img.append((pb_i, pv_i, pooled7_i))
+            # Flatten per image BEFORE stacking: the (7, 7, 256) -> 12544
+            # reshape is a sublane-padding relayout (7 -> 16 rows for bf16
+            # tiles); done on the whole (B*P, 7, 7, 256) stack it costs
+            # ~7 ms at batch 25 — per image it fuses with the ROIAlign
+            # matmul epilogue.
+            per_img.append((pb_i, pv_i,
+                            pooled7_i.reshape(pooled7_i.shape[0], -1)))
         pb = jnp.stack([t[0] for t in per_img])
         pv = jnp.stack([t[1] for t in per_img])
         pooled7 = jnp.stack([t[2] for t in per_img])
         p = pooled7.shape[1]
         cls_logits, box_deltas = self.box_head(
-            pooled7.reshape((b * p,) + pooled7.shape[2:]))
+            pooled7.reshape(b * p, -1))
         cc = c.num_classes
         probs = jax.nn.softmax(cls_logits)[:, :cc].reshape(b, p, cc)
         box_deltas = box_deltas.reshape(b, p, cc, 4)

@@ -140,3 +140,49 @@ class TestOutlier:
             jnp.array(pts), jnp.array(valid), min_points=10))
         assert not keep[150:].any()
         assert keep[:150].mean() > 0.9
+
+
+class TestOutlierPallasKernel:
+    """The fused VMEM kernel (interpret mode on CPU) vs the exact XLA path.
+
+    The kernel does exact min-extraction k-NN; the XLA exact path
+    (approx=False) is jax.lax.top_k — identical selections, so the kept
+    masks must agree exactly and the mean-kNN statistic to f32 roundoff.
+    """
+
+    def _agree(self, pts, valid, candidates):
+        xla = np.asarray(statistical_outlier_mask(
+            jnp.array(pts), jnp.array(valid), min_points=10, approx=False,
+            candidates=candidates, impl="xla"))
+        ker = np.asarray(statistical_outlier_mask(
+            jnp.array(pts), jnp.array(valid), min_points=10,
+            candidates=candidates, impl="pallas_interpret"))
+        assert (xla == ker).all(), (xla != ker).sum()
+
+    def test_matches_exact_xla_subset(self):
+        cluster = RNG.normal(size=(900, 3)).astype(np.float32) * 0.1
+        outliers = RNG.normal(size=(24, 3)).astype(np.float32) * 0.1
+        outliers += np.sign(outliers) * 4.0
+        pad = np.zeros((100, 3), np.float32)
+        pts = np.concatenate([cluster, outliers, pad])
+        valid = np.concatenate([np.ones(924, bool), np.zeros(100, bool)])
+        self._agree(pts, valid, candidates=256)
+
+    def test_matches_exact_xla_full(self):
+        pts = RNG.normal(size=(256, 3)).astype(np.float32)
+        pts[200:] *= 8.0
+        valid = np.ones(256, bool)
+        self._agree(pts, valid, candidates=0)
+
+    def test_vmapped(self):
+        import jax
+        pts = RNG.normal(size=(3, 256, 3)).astype(np.float32)
+        pts[:, 240:] *= 10.0
+        valid = np.ones((3, 256), bool)
+        f = jax.vmap(lambda p, v: statistical_outlier_mask(
+            p, v, min_points=10, candidates=64, impl="pallas_interpret"))
+        g = jax.vmap(lambda p, v: statistical_outlier_mask(
+            p, v, min_points=10, candidates=64, approx=False, impl="xla"))
+        ker = np.asarray(f(jnp.array(pts), jnp.array(valid)))
+        xla = np.asarray(g(jnp.array(pts), jnp.array(valid)))
+        assert (ker == xla).all()
