@@ -84,8 +84,24 @@ class BoxHead(nn.Module):
 
     @nn.compact
     def __call__(self, pooled):  # (N, 7, 7, 256)
-        x = pooled.reshape(pooled.shape[0], -1)
-        x = jax.nn.relu(nn.Dense(self.width, dtype=self.dtype)(x))
+        # First FC contracts (h, w, c) directly with dot_general: the
+        # flatten to (N, h*w*c) is a sublane-padding relayout on TPU
+        # (7 -> 16 rows per bf16 tile), measured ~4 ms at batch 25x500
+        # proposals; the MXU consumes the pooled layout as-is.  Same math
+        # as Dense on the flattened vector (fan_in-scaled init to match).
+        n, h, w, c = pooled.shape
+        k1 = self.param(
+            "fc1_kernel",
+            nn.initializers.variance_scaling(1.0, "fan_in",
+                                             "truncated_normal",
+                                             in_axis=(0, 1, 2), out_axis=3),
+            (h, w, c, self.width))
+        b1 = self.param("fc1_bias", nn.initializers.zeros, (self.width,))
+        dt = self.dtype or pooled.dtype
+        x = jax.lax.dot_general(pooled.astype(dt), k1.astype(dt),
+                                (((1, 2, 3), (0, 1, 2)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        x = jax.nn.relu(x.astype(dt) + b1.astype(dt))
         x = jax.nn.relu(nn.Dense(self.width, dtype=self.dtype)(x))
         # Logits/deltas feed softmax thresholds + box decoding: f32 out.
         cls_logits = nn.Dense(self.num_classes + 1, name="cls",
@@ -316,22 +332,20 @@ class MaskRCNN(nn.Module):
             pooled7_i = multilevel_roi_align_packed(
                 [f[i] for f in feats4], pb_i, c.box_pooler_resolution,
                 STRIDES)
-            # Flatten per image BEFORE stacking: the (7, 7, 256) -> 12544
-            # reshape is a sublane-padding relayout (7 -> 16 rows for bf16
-            # tiles); done on the whole (B*P, 7, 7, 256) stack it costs
-            # ~7 ms at batch 25 — per image it fuses with the ROIAlign
-            # matmul epilogue.
-            per_img.append((pb_i, pv_i,
-                            pooled7_i.reshape(pooled7_i.shape[0], -1)))
+            # Box head per image: its first layer consumes the pooled
+            # (P, 7, 7, 256) layout directly (dot_general in BoxHead), so
+            # running it here avoids ever materialising the whole-batch
+            # pooled stack (~313 MB bf16; folding the box head measured
+            # ~4 ms slower at batch 25).
+            cls_i, bd_i = self.box_head(pooled7_i)
+            per_img.append((pb_i, pv_i, cls_i, bd_i))
         pb = jnp.stack([t[0] for t in per_img])
         pv = jnp.stack([t[1] for t in per_img])
-        pooled7 = jnp.stack([t[2] for t in per_img])
-        p = pooled7.shape[1]
-        cls_logits, box_deltas = self.box_head(
-            pooled7.reshape(b * p, -1))
+        cls_logits = jnp.stack([t[2] for t in per_img])   # (B, P, C+1)
+        box_deltas = jnp.stack([t[3] for t in per_img])   # (B, P, C, 4)
+        p = pb.shape[1]
         cc = c.num_classes
-        probs = jax.nn.softmax(cls_logits)[:, :cc].reshape(b, p, cc)
-        box_deltas = box_deltas.reshape(b, p, cc, 4)
+        probs = jax.nn.softmax(cls_logits)[..., :cc]
         boxes_c = decode_deltas(pb[:, :, None, :], box_deltas)  # (B, P, C, 4)
         boxes_c = jnp.clip(
             boxes_c,
