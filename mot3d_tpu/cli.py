@@ -38,6 +38,9 @@ def _parse(argv: List[str]):
     td.add_argument("--cache-samples", type=int, default=256,
                     help="frames kept decoded in memory across epochs "
                          "(~7 MB/frame at full size; 0 disables)")
+    td.add_argument("--resume", action="store_true",
+                    help="continue from the latest checkpoint in --out "
+                         "(full state: params, optimizer, step)")
 
     tc = sub.add_parser("train-combined", **common)
     tc.add_argument("--data", required=True)
@@ -45,6 +48,8 @@ def _parse(argv: List[str]):
     tc.add_argument("--out", default="out/combined")
     tc.add_argument("--max-iter", type=int, default=None)
     tc.add_argument("--eval-only", action="store_true")
+    tc.add_argument("--resume", action="store_true",
+                    help="continue from the latest checkpoint in --out")
 
     ex = sub.add_parser("export-detections", **common)
     ex.add_argument("--data", required=True)
@@ -61,6 +66,8 @@ def _parse(argv: List[str]):
     tt.add_argument("--val-data", required=True)
     tt.add_argument("--out", default="out/tracking")
     tt.add_argument("--epochs", type=int, default=None)
+    tt.add_argument("--resume", action="store_true",
+                    help="continue from the latest checkpoint in --out")
 
     it = sub.add_parser("infer-tracking", **common)
     it.add_argument("--data", required=True)
@@ -83,6 +90,8 @@ def _parse(argv: List[str]):
     ts.add_argument("--precompute", action="store_true",
                     help="cache voxel-encoder features before training")
     ts.add_argument("--cache-dir", default=None)
+    ts.add_argument("--resume", action="store_true",
+                    help="continue from the latest checkpoint in --out")
 
     si = sub.add_parser("infer-siamese", **common)
     si.add_argument("--data", required=True)
@@ -102,6 +111,9 @@ def _parse(argv: List[str]):
                      default="heuristic")
     io_.add_argument("--fuse", action="store_true",
                      help="fuse_pose smoothing of the trajectories")
+    io_.add_argument("--fuse-shapes", action="store_true",
+                     help="canonical-shape fusion: replay ONE fused mesh "
+                          "per object (fuse_obj_shape)")
     io_.add_argument("--mask-person", action="store_true",
                      help="densepose person masking")
     io_.add_argument("--out", default="out/office")
@@ -227,7 +239,8 @@ def main(argv=None):
             [_read_h5_scenes(args.data), _read_h5_scenes(args.val_data)],
             cfg)
         trainer = TrackingTrainer(cfg, output_dir=args.out)
-        result = trainer.train(train, val, num_epochs=args.epochs)
+        result = trainer.train(train, val, num_epochs=args.epochs,
+                               resume=args.resume)
         print(result)
 
     elif args.cmd == "infer-tracking":
@@ -256,7 +269,7 @@ def main(argv=None):
         trainer = SiameseTrainer(cfg, output_dir=args.out)
         print(trainer.train(train, val, num_epochs=args.epochs,
                             precompute=args.precompute,
-                            cache_dir=args.cache_dir))
+                            cache_dir=args.cache_dir, resume=args.resume))
 
     elif args.cmd == "infer-siamese":
         from mot3d_tpu.train.siamese_trainer import SiameseTrainer
@@ -280,7 +293,8 @@ def main(argv=None):
             cache_samples=args.cache_samples)
         val_iter = list(iterate_detection_batches(
             val_ds, cfg.detection, cfg.combined.batch_size, shuffle=False))
-        print(trainer.train(batches, val_iter, max_iter=args.max_iter))
+        print(trainer.train(batches, val_iter, max_iter=args.max_iter,
+                            resume=args.resume))
 
     elif args.cmd == "train-combined":
         from mot3d_tpu.data.detection_loader import load_frame
@@ -309,7 +323,7 @@ def main(argv=None):
             print(trainer.do_test(test_seqs))
         else:
             print(trainer.train(windows(), max_iter=args.max_iter,
-                                test_seqs=test_seqs))
+                                test_seqs=test_seqs, resume=args.resume))
 
     elif args.cmd == "export-detections":
         from mot3d_tpu.data.motfront import MOTFrontDataset
@@ -342,7 +356,9 @@ def main(argv=None):
                 trajs = [fuse_pose_f2f(t) if "cad2world" in (t[0] if t else {})
                          else fuse_pose(t) for t in trajs]
             sdir = os.path.join(args.out, scene)
-            export_sequence(sdir, trajs, with_shapes=args.tracker != "f2f")
+            export_sequence(sdir, trajs, with_shapes=args.tracker != "f2f",
+                            fuse_shapes=(args.fuse_shapes
+                                         and args.tracker != "f2f"))
             summary = [[{"scan_idx": int(d["scan_idx"]),
                          "loc": np.asarray(d["loc"]).tolist(),
                          "cls": int(d.get("cls", -1))} for d in t]

@@ -121,6 +121,13 @@ class DetectionConfig:
     # Fast (YOLACT-style, loop-free) NMS on TPU; set False for exact
     # detectron2-equivalent suppression (sequential scan).
     fast_nms: bool = True
+    # Inference batching of the per-image proposal/NMS/pooling chain:
+    # "unroll" emits the chain once per image (independent chains schedule
+    # well but HLO grows linearly in batch — the fused 25-frame program's
+    # compile-time driver); "scan" runs ONE traced body under lax.scan
+    # (identical per-image semantics and VMEM residency, constant HLO size
+    # in batch).  Defaults from the round-3 A/B (NOTES_ROUND3.md).
+    predict_mode: str = "unroll"
     nms_thresh_test: float = 0.4             # combined setting (cfg_setup.py:123)
     detections_per_image: int = 16           # static max detections kept per image
     box_pooler_resolution: int = 7
@@ -243,6 +250,16 @@ class CombinedConfig:
     voxel_thres: float = 0.5
     detection_lr: float = 8e-4
     detection_weight_decay: float = 5e-4
+    # WarmupMultiStepLR shape for the detection solver
+    # (`Detection/cfg_setup.py:109-114`).  The reference SHIPS neutral
+    # values (warmup 0 iters / factor 1, no milestones, gamma 1 → constant
+    # 8e-4), so these defaults are exact parity; set e.g.
+    # lr_warmup_iters=1000 lr_warmup_factor=0.001 for the detectron2
+    # default warmup on real-data runs.
+    lr_warmup_iters: int = 0
+    lr_warmup_factor: float = 1.0
+    lr_steps: tuple = ()
+    lr_gamma: float = 1.0
     tracking_lr: float = 1e-3
     tracking_weight_decay: float = 1e-4
     max_iter: int = 240_000

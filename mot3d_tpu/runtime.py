@@ -8,7 +8,10 @@ essential: every entry point calls `enable_compilation_cache()` first.
 from __future__ import annotations
 
 import contextlib
+import functools
+import hashlib
 import os
+import platform
 import time
 
 import jax
@@ -16,8 +19,39 @@ import jax
 _DEFAULT_CACHE = os.path.expanduser("~/.cache/jax")
 
 
+@functools.lru_cache(maxsize=1)
+def machine_fingerprint() -> str:
+    """Short stable hash of this host's CPU identity (arch + model + ISA
+    feature flags).
+
+    XLA:CPU persistent-cache entries embed ahead-of-time code specialised
+    to the *compiling* host's CPU features, but JAX's cache key does not
+    include them: an entry written on one machine loads on another with
+    `cpu_aot_loader` warnings ("+prefer-no-gather is not supported on the
+    host machine ... could lead to execution errors such as SIGILL") and
+    can silently change numerics.  Keying the cache directory by this
+    fingerprint makes foreign-host entries invisible instead of dangerous.
+    """
+    bits = [platform.machine()]
+    try:
+        seen = set()
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("model name", "flags", "Features",
+                                    "CPU implementer", "CPU part")):
+                    if line not in seen:
+                        seen.add(line)
+                        bits.append(line.strip())
+    except OSError:
+        bits.append(platform.processor() or "unknown")
+    return hashlib.sha256("\n".join(bits).encode()).hexdigest()[:12]
+
+
 def enable_compilation_cache(path: str | None = None) -> None:
     path = path or os.environ.get("JAX_COMPILATION_CACHE_DIR", _DEFAULT_CACHE)
+    # Per-machine subdirectory: see machine_fingerprint() — entries written
+    # by a different CPU type must never be loaded here.
+    path = os.path.join(path, f"m-{machine_fingerprint()}")
     os.makedirs(path, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", path)

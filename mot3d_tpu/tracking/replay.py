@@ -25,7 +25,7 @@ _PALETTE = ["#e41a1c", "#377eb8", "#4daf4a", "#984ea3", "#ff7f00",
             "#a65628", "#f781bf", "#17becf", "#bcbd22", "#8c564b"]
 
 
-def _traj_records(trajectories: List[List[dict]]):
+def _traj_records(trajectories: List[List[dict]], with_pose: bool = False):
     out = []
     for i, traj in enumerate(trajectories):
         recs = []
@@ -38,10 +38,32 @@ def _traj_records(trajectories: List[List[dict]]):
                     rec["box"] = box.round(4).tolist()
             if "cls" in d:
                 rec["cls"] = int(d["cls"])
+            if with_pose and "euler" in d:
+                # Embed the rotation MATRIX (not euler) so the JS renderer
+                # cannot drift from geometry.transforms' convention.
+                import jax.numpy as jnp
+                from mot3d_tpu.geometry.transforms import euler_to_rotmat
+                rec["R"] = np.asarray(
+                    euler_to_rotmat(jnp.asarray(d["euler"])),
+                    np.float64).round(4).tolist()
             recs.append(rec)
         out.append({"id": i, "color": _PALETTE[i % len(_PALETTE)],
                     "dets": recs})
     return out
+
+
+def _fused_points(grid, max_points: int = 150):
+    """Canonical-space point set of a fused occupancy grid (voxel centres
+    in [-0.5, 0.5]^3, subsampled) for the replay's fused-shape toggle."""
+    occ = np.stack(np.nonzero(np.asarray(grid)), 1).astype(np.float64)
+    if len(occ) == 0:
+        return []
+    res = np.asarray(grid).shape[0]
+    pts = (occ + 0.5) / res - 0.5
+    if len(pts) > max_points:
+        sel = np.linspace(0, len(pts) - 1, max_points).astype(int)
+        pts = pts[sel]
+    return pts.round(4).tolist()
 
 
 _HTML = """<!DOCTYPE html>
@@ -59,6 +81,8 @@ _HTML = """<!DOCTYPE html>
  <button id="play">&#9654;</button>
  <input id="tt" type="range" min="0" max="0" value="0" step="1">
  <span id="lbl"></span>
+ <label id="fuselbl" style="display:none"><input id="fuse" type="checkbox"
+  checked> fused shapes</label>
  <span style="margin-left:12px;opacity:.6">drag: orbit &middot; wheel: zoom
  &middot; solid: pred &middot; faded: GT</span>
 </div>
@@ -101,6 +125,11 @@ function dot(p,col,r,alpha){
 }
 const BOX_E=[[0,1],[1,2],[2,3],[3,0],[4,5],[5,6],[6,7],[7,4],
              [0,4],[1,5],[2,6],[3,7]];
+const fuseBox=document.getElementById('fuse');
+if(DATA.pred.some(tr=>tr.shape&&tr.shape.length)){
+ document.getElementById('fuselbl').style.display='inline';
+ fuseBox.onchange=draw;
+}
 function drawTraj(tr, faded){
  let prev=null;
  for(const d of tr.dets){
@@ -113,6 +142,15 @@ function drawTraj(tr, faded){
   dot(d.loc,tr.color,4,faded?0.4:1);
   if(d.box)for(const e of BOX_E)
     line(d.box[e[0]],d.box[e[1]],tr.color,1,faded?0.3:0.8);
+  if(!faded&&fuseBox.checked&&tr.shape&&tr.shape.length&&d.R){
+   const s=tr.scale||1, R=d.R, L=d.loc;
+   for(const p of tr.shape){
+    const q=[s*p[0],s*p[1],s*p[2]];
+    dot([R[0][0]*q[0]+R[0][1]*q[1]+R[0][2]*q[2]+L[0],
+         R[1][0]*q[0]+R[1][1]*q[1]+R[1][2]*q[2]+L[1],
+         R[2][0]*q[0]+R[2][1]*q[1]+R[2][2]*q[2]+L[2]],tr.color,1.4,0.7);
+   }
+  }
  }
 }
 function draw(){
@@ -131,9 +169,23 @@ def write_replay_html(path: str, trajectories: List[List[dict]],
                       gt_trajectories: Optional[List[List[dict]]] = None,
                       background_pc: Optional[np.ndarray] = None,
                       seq_len: Optional[int] = None,
-                      max_bg_points: int = 4000) -> str:
-    """Write the replay; returns the path."""
-    pred = _traj_records(trajectories)
+                      max_bg_points: int = 4000,
+                      fused_shapes=None, fused_scales=None) -> str:
+    """Write the replay; returns the path.
+
+    `fused_shapes`/`fused_scales` (from visualise.fuse_obj_shape) add a
+    "fused shapes" toggle: each tracklet replays ONE canonical shape point
+    set, posed per frame with its rotation/translation and the fused scale
+    — the reference's fused-mesh replay
+    (`Tracking/visualise/visualise.py:619-699`)."""
+    with_pose = fused_shapes is not None
+    pred = _traj_records(trajectories, with_pose=with_pose)
+    if with_pose:
+        for i, tr in enumerate(pred):
+            grid = fused_shapes[i] if i < len(fused_shapes) else None
+            tr["shape"] = _fused_points(grid) if grid is not None else []
+            tr["scale"] = (round(float(fused_scales[i]), 4)
+                           if fused_scales is not None else 1.0)
     gt = _traj_records(gt_trajectories) if gt_trajectories else []
     all_t = [d["t"] for tr in pred + gt for d in tr["dets"]]
     n = seq_len if seq_len is not None else (max(all_t) + 1 if all_t else 1)

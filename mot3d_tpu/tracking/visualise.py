@@ -93,20 +93,52 @@ _COLORS = np.array([
 ], np.uint8)
 
 
+def fuse_obj_shape(trajectories: List[List[dict]]):
+    """Canonical-space shape fusion (`fuse_obj_shape`,
+    `Tracking/visualise/visualise.py:619-641`): each tracklet's per-frame
+    32^3 voxel grids are accumulated in canonical (CAD) space by averaging
+    and re-binarised at 0.5, and its scales are averaged — the replay then
+    shows ONE fused shape per object, posed per frame, instead of a
+    different reconstruction every frame.
+
+    Returns (fused_shapes, fused_scales); a trajectory without voxels gets
+    (None, mean-or-1.0 scale).
+    """
+    shapes, scales = [], []
+    for traj in trajectories:
+        grids = [np.asarray(d["voxel"], np.float64) for d in traj
+                 if d.get("voxel") is not None]
+        shapes.append((np.mean(grids, axis=0) >= 0.5) if grids else None)
+        svals = [float(d["scale"]) for d in traj if "scale" in d]
+        scales.append(float(np.mean(svals)) if svals else 1.0)
+    return shapes, scales
+
+
 def export_sequence(out_dir: str, trajectories: List[List[dict]],
                     background_pc: Optional[np.ndarray] = None,
                     with_shapes: bool = False,
                     gt_trajectories: Optional[List[List[dict]]] = None,
-                    replay: bool = True) -> None:
+                    replay: bool = True,
+                    fuse_shapes: bool = False) -> None:
     """Write trajectory polyline PLYs (+ posed voxel shapes when detections
     carry 'voxel'/'euler'/'scale'), mirroring visualise_pred_sequence, and
-    an interactive replay.html (dvis 4D replay equivalent)."""
+    an interactive replay.html (dvis 4D replay equivalent).
+
+    `fuse_shapes` enables canonical-shape fusion (fuse_obj_shape,
+    `Tracking/visualise/visualise.py:619-699`): every frame of a tracklet
+    replays the SAME fused mesh (written once as fused_shape_<i>.obj) at
+    the fused scale, and the replay.html gets the fused point sets too."""
     os.makedirs(out_dir, exist_ok=True)
+    fused_grids = fused_scales = None
+    if fuse_shapes:
+        fused_grids, fused_scales = fuse_obj_shape(trajectories)
     if replay:
         from mot3d_tpu.tracking.replay import write_replay_html
         write_replay_html(os.path.join(out_dir, "replay.html"), trajectories,
                           gt_trajectories=gt_trajectories,
-                          background_pc=background_pc)
+                          background_pc=background_pc,
+                          fused_shapes=fused_grids,
+                          fused_scales=fused_scales)
     if background_pc is not None:
         pts = background_pc[:, :3]
         col = (background_pc[:, 3:6].astype(np.uint8)
@@ -116,6 +148,14 @@ def export_sequence(out_dir: str, trajectories: List[List[dict]],
         locs = np.stack([np.asarray(d["loc"]) for d in traj])
         col = np.tile(_COLORS[i % len(_COLORS)], (len(locs), 1))
         write_ply(os.path.join(out_dir, f"traj_{i:03d}.ply"), locs, col)
+        if fuse_shapes and fused_grids[i] is not None:
+            # One canonical fused mesh per object (identity pose, fused
+            # scale) — the artefact fuse_obj_shape exists to produce.
+            path = os.path.join(out_dir, f"fused_shape_{i:03d}.obj")
+            if voxel_to_mesh_obj(path, fused_grids[i], np.eye(3),
+                                 np.zeros(3), fused_scales[i]) == 0:
+                voxel_to_obj(path, fused_grids[i], np.eye(3), np.zeros(3),
+                             fused_scales[i])
         if with_shapes:
             for d in traj:
                 if "voxel" not in d or "euler" not in d:
@@ -123,11 +163,14 @@ def export_sequence(out_dir: str, trajectories: List[List[dict]],
                 from mot3d_tpu.geometry.transforms import euler_to_rotmat
                 import jax.numpy as jnp
                 rot = np.asarray(euler_to_rotmat(jnp.asarray(d["euler"])))
+                grid = (fused_grids[i]
+                        if fuse_shapes and fused_grids[i] is not None
+                        else np.asarray(d["voxel"]) >= 0.5)
+                scale = (fused_scales[i] if fuse_shapes
+                         else float(d.get("scale", 1.0)))
                 path = os.path.join(
                     out_dir, f"shape_{i:03d}_t{d['scan_idx']:03d}.obj")
-                if voxel_to_mesh_obj(path, np.asarray(d["voxel"]) >= 0.5,
-                                     rot, np.asarray(d["loc"]),
-                                     float(d.get("scale", 1.0))) == 0:
-                    voxel_to_obj(path, np.asarray(d["voxel"]) >= 0.5, rot,
-                                 np.asarray(d["loc"]),
-                                 float(d.get("scale", 1.0)))
+                if voxel_to_mesh_obj(path, grid, rot, np.asarray(d["loc"]),
+                                     scale) == 0:
+                    voxel_to_obj(path, grid, rot, np.asarray(d["loc"]),
+                                 scale)

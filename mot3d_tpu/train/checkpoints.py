@@ -80,3 +80,26 @@ class CheckpointManager:
                                 "state")
         ckptr = ocp.StandardCheckpointer()
         return ckptr.restore(best_dir, target=state_template)
+
+
+def resume_trainer(trainer) -> Optional[int]:
+    """Restore the latest FULL train state (params, every optimizer state,
+    step) into `trainer.state` so a killed run continues where it stopped —
+    the reference's `DetectionCheckpointer.resume_or_load(resume=True)`
+    path (`Detection/train_net.py:99-110`), which detectron2 uses to reload
+    model + optimizer + scheduler + iteration.
+
+    `trainer.state` must already be initialised (it is the restore
+    template).  Returns the restored step, or None when the checkpoint
+    directory has no saved state (fresh run).
+    """
+    if trainer.state is None:
+        raise RuntimeError("init_state() must run before resume")
+    restored = trainer.ckpt.restore(trainer.state)
+    if restored is None:
+        return None
+    trainer.state = restored
+    step = int(restored.step)
+    print(f"resumed training from step {step} "
+          f"({trainer.ckpt.directory})")
+    return step

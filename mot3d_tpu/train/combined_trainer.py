@@ -61,8 +61,13 @@ class CombinedTrainer:
         self.seq_template = make_template(
             cfg.tracking.seq_len, cfg.detection.detections_per_image,
             cfg.tracking.max_frame_dist)
+        from mot3d_tpu.train.schedules import warmup_multistep
         self.det_opt = optax.adamw(
-            cfg.combined.detection_lr,
+            warmup_multistep(cfg.combined.detection_lr,
+                             cfg.combined.lr_warmup_iters,
+                             cfg.combined.lr_warmup_factor,
+                             cfg.combined.lr_steps,
+                             cfg.combined.lr_gamma),
             weight_decay=cfg.combined.detection_weight_decay)
         self.trk_opt = optax.adamw(
             cfg.combined.tracking_lr,
@@ -105,22 +110,27 @@ class CombinedTrainer:
     # ------------------------------------------------------------------
     def train(self, windows: Iterator[List[DetectionSample]],
               max_iter: Optional[int] = None,
-              test_seqs: Optional[List[List[DetectionSample]]] = None
-              ) -> Dict[str, float]:
+              test_seqs: Optional[List[List[DetectionSample]]] = None,
+              resume: bool = False) -> Dict[str, float]:
         """windows: iterator of T-frame windows (T = combined.batch_size,
         consecutive frames of one sequence, as the reference's non-shuffled
-        2-frame batches, `train_combined.py:88,481`)."""
+        2-frame batches, `train_combined.py:88,481`).  `resume` reloads the
+        latest full train state — both params, both optimizer states, step
+        (`Detection/train_combined.py:444-455` resume_or_load)."""
         cfg = self.cfg.combined
         max_iter = max_iter or cfg.max_iter
         rng = jax.random.PRNGKey(self.cfg.run.seed + 3)
         metrics: Dict[str, float] = {}
-        for i, frames in enumerate(windows):
-            if i >= max_iter:
-                break
+        for frames in windows:
             window = samples_to_combined_window(frames)
             batch = jax.tree_util.tree_map(lambda x: x[None], window)
             if self.state is None:
                 self.init_state(window)
+                if resume:
+                    from mot3d_tpu.train.checkpoints import resume_trainer
+                    resume_trainer(self)
+            if int(self.state.step) >= max_iter:
+                break
             if self._step_fn is None:
                 self._step_fn = jax.jit(make_combined_train_step(
                     self.det_model, self.trk_model, self.window_template,

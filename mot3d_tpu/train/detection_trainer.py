@@ -44,8 +44,13 @@ class DetectionTrainer:
         self.cfg = cfg
         self.output_dir = output_dir
         self.model = MaskRCNN(cfg.detection)
+        from mot3d_tpu.train.schedules import warmup_multistep
         self.optimizer = optax.adamw(
-            cfg.combined.detection_lr,
+            warmup_multistep(cfg.combined.detection_lr,
+                             cfg.combined.lr_warmup_iters,
+                             cfg.combined.lr_warmup_factor,
+                             cfg.combined.lr_steps,
+                             cfg.combined.lr_gamma),
             weight_decay=cfg.combined.detection_weight_decay)
         self.writer = MetricsWriter(output_dir, cfg.run.log_every)
         self.ckpt = CheckpointManager(os.path.join(output_dir, "ckpt"))
@@ -90,9 +95,14 @@ class DetectionTrainer:
     # ------------------------------------------------------------------
     def train(self, batches: Iterator[DetectionSample],
               val_batches=None, max_iter: Optional[int] = None,
-              full_eval: bool = True) -> Dict[str, float]:
+              full_eval: bool = True, resume: bool = False
+              ) -> Dict[str, float]:
         """`full_eval` adds the voxnocs + COCO-AP evaluators to the periodic
-        eval, as the reference's do_test does (`train_net.py:66-90`)."""
+        eval, as the reference's do_test does (`train_net.py:66-90`).
+        `resume` reloads the latest full train state (params + optimizer +
+        step, so the LR schedule continues too) from this trainer's ckpt
+        dir — the reference's resume_or_load(resume=True)
+        (`Detection/train_net.py:99-110`)."""
         cfg = self.cfg.combined
         max_iter = max_iter or cfg.max_iter
         rng = jax.random.PRNGKey(self.cfg.run.seed + 2)
@@ -100,11 +110,14 @@ class DetectionTrainer:
         # Device-side prefetch: the H2D copy of batch N+1 overlaps the
         # compute of batch N (data/prefetch.py).
         from mot3d_tpu.data.prefetch import device_prefetch
-        for i, batch in enumerate(device_prefetch(batches)):
-            if i >= max_iter:
-                break
+        for batch in device_prefetch(batches):
             if self.state is None:
                 self.init_state(batch)
+                if resume:
+                    from mot3d_tpu.train.checkpoints import resume_trainer
+                    resume_trainer(self)
+            if int(self.state.step) >= max_iter:
+                break
             if self._step_fn is None:
                 self._step_fn = self._make_step()
             rng, sub = jax.random.split(rng)

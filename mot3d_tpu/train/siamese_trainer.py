@@ -201,12 +201,21 @@ class SiameseTrainer:
               num_epochs: Optional[int] = None,
               batch_size: Optional[int] = None,
               precompute: bool = False,
-              cache_dir: Optional[str] = None) -> Dict[str, float]:
+              cache_dir: Optional[str] = None,
+              resume: bool = False) -> Dict[str, float]:
         s = self.cfg.siamese
         num_epochs = num_epochs or s.num_epochs
         batch_size = batch_size or s.batch_size
         if self.state is None:
             self.init_state()
+        start_epoch = 0
+        if resume:
+            from mot3d_tpu.train.checkpoints import resume_trainer
+            step0 = resume_trainer(self)
+            if step0 is not None:
+                per_epoch = max(1, len(train_seqs)
+                                // max(1, min(batch_size, len(train_seqs))))
+                start_epoch = min(num_epochs, step0 // per_epoch)
         from_features = bool(precompute and not s.no_geo)
         feats = (self.precompute_features(train_seqs, cache_dir)
                  if from_features else None)
@@ -216,8 +225,10 @@ class SiameseTrainer:
         # Fewer sequences than batch_size must still train (otherwise the
         # epoch loop is empty and an untrained model gets checkpointed).
         batch_size = max(1, min(batch_size, len(train_seqs)))
-        for _ in range(num_epochs):
+        for epoch in range(num_epochs):
             order = rng.permutation(len(train_seqs))
+            if epoch < start_epoch:
+                continue  # resumed past this epoch; order stream consumed
             for i in range(0, len(order) - batch_size + 1, batch_size):
                 idx = order[i:i + batch_size]
                 batch = sequences_to_batch([train_seqs[j] for j in idx])

@@ -82,16 +82,30 @@ class TrackingTrainer:
     # ------------------------------------------------------------------
     def train(self, train_seqs: List[dict], val_seqs: List[dict],
               num_epochs: Optional[int] = None,
-              batch_size: Optional[int] = None) -> Dict[str, float]:
+              batch_size: Optional[int] = None,
+              resume: bool = False) -> Dict[str, float]:
         t = self.cfg.tracking
         num_epochs = num_epochs or t.num_epochs
         batch_size = batch_size or t.batch_size
         if self.state is None:
             self.init_state(sequences_to_batch(train_seqs[:1]))
+        start_epoch = 0
+        if resume:
+            from mot3d_tpu.train.checkpoints import resume_trainer
+            step0 = resume_trainer(self)
+            if step0 is not None:
+                # Epoch-based loop: skip the epochs the restored step has
+                # already completed (the per-epoch RNG order is re-derived
+                # identically from the seed).
+                per_epoch = max(1, len(train_seqs) // max(1, batch_size))
+                start_epoch = min(num_epochs, step0 // per_epoch)
         step_fn = self._step()
         rng = np.random.default_rng(self.cfg.run.seed)
         last: Dict[str, float] = {}
         for epoch in range(num_epochs):
+            if epoch < start_epoch:
+                rng.permutation(len(train_seqs))  # keep the order stream
+                continue
             order = rng.permutation(len(train_seqs))
             for i in range(0, len(order) - batch_size + 1, batch_size):
                 batch = sequences_to_batch(

@@ -107,6 +107,45 @@ class TestCocoAP:
         res = compute_ap(imgs, num_classes=1)
         np.testing.assert_allclose(res["AP"], 0.5, atol=0.02)
 
+    def test_area_range_breakdown(self):
+        """APs/APm/APl (pycocotools Params.areaRng, FrontCocoEval.py):
+        each range scores only its own GTs; absent regimes are omitted."""
+        def img(size, n=2, seed=0):
+            rng = np.random.default_rng(seed)
+            xy = rng.uniform(0, 50, (n, 2))
+            gt = np.concatenate([xy, np.full((n, 2), float(size))], 1)
+            return {"dt_boxes": gt.copy(),
+                    "dt_scores": np.linspace(0.9, 0.5, n),
+                    "dt_classes": np.zeros(n, int),
+                    "gt_boxes": gt, "gt_classes": np.zeros(n, int)}
+
+        # 20x20=400 (small), 50x50=2500 (medium), 100x100=1e4 (large).
+        res = compute_ap([img(20, seed=0), img(50, seed=1),
+                          img(100, seed=2)], num_classes=1)
+        for key in ("AP", "APs", "APm", "APl"):
+            np.testing.assert_allclose(res[key], 1.0, atol=1e-6,
+                                       err_msg=key)
+        # Only small objects -> medium/large ranges have no GT: omitted.
+        res_s = compute_ap([img(20)], num_classes=1)
+        np.testing.assert_allclose(res_s["APs"], 1.0, atol=1e-6)
+        assert "APm" not in res_s and "APl" not in res_s
+
+    def test_area_range_ignore_semantics(self):
+        """An unmatched OUT-of-range detection must not be an FP for the
+        range (COCOeval ignore handling), and an out-of-range GT is
+        matchable-but-ignored rather than deleted."""
+        gt = np.array([[5.0, 5.0, 20.0, 20.0]])       # small (400)
+        big_dt = np.array([[40.0, 40.0, 100.0, 100.0]])  # large, unmatched
+        img = {"dt_boxes": np.concatenate([gt, big_dt]),
+               "dt_scores": np.array([0.6, 0.9]),  # spurious scores HIGHER
+               "dt_classes": np.zeros(2, int),
+               "gt_boxes": gt, "gt_classes": np.zeros(1, int)}
+        res = compute_ap([img], num_classes=1)
+        # In the small range the large spurious detection is ignored:
+        np.testing.assert_allclose(res["APs"], 1.0, atol=1e-6)
+        # In the unrestricted range it IS a higher-scored FP:
+        assert res["AP"] < 1.0
+
     def test_evaluator_with_masks(self):
         ev = COCOEvaluator(num_classes=2)
         gt_boxes = np.array([[5.0, 5.0, 20.0, 25.0]])

@@ -106,6 +106,47 @@ class TestExports:
         assert len(data["bg"]) <= 4000
         assert "box" in data["pred"][0]["dets"][0]
 
+    def test_fuse_obj_shape(self):
+        """fuse_obj_shape parity (`Tracking/visualise/visualise.py:619-641`):
+        mean of the voxel grids re-binarised at 0.5, mean scale."""
+        from mot3d_tpu.tracking.visualise import fuse_obj_shape
+        trajs = self._trajs()
+        # Perturb: make one frame's voxel disagree on a region -> mean 0.25
+        # there (below 0.5 -> off) but 0.75 in 3/4-agreement regions (on).
+        trajs[0][0]["voxel"] = np.zeros((16, 16, 16))
+        trajs[0][0]["voxel"][4:8, 4:12, 4:12] = 1  # half the cube only
+        trajs[0][1]["scale"] = 3.0
+        shapes, scales = fuse_obj_shape(trajs)
+        assert shapes[0].dtype == bool and shapes[0].shape == (16, 16, 16)
+        # 4-12 cube present in all 4 frames in x 4:8, 3/4 frames in x 8:12.
+        assert shapes[0][4:8, 4:12, 4:12].all()
+        assert shapes[0][8:12, 4:12, 4:12].all()  # 0.75 >= 0.5
+        assert not shapes[0][:4].any()
+        np.testing.assert_allclose(scales[0], (3.0 + 3 * 1.0) / 4)
+        np.testing.assert_allclose(scales[1], 1.0)
+        # No-voxel trajectory: None shape, scale defaults.
+        shapes2, scales2 = fuse_obj_shape(
+            [[{"scan_idx": 0, "loc": np.zeros(3)}]])
+        assert shapes2[0] is None and scales2[0] == 1.0
+
+    def test_export_sequence_fused(self, tmp_path):
+        out = str(tmp_path / "fused")
+        export_sequence(out, self._trajs(), with_shapes=True,
+                        fuse_shapes=True)
+        names = os.listdir(out)
+        fused = sorted(n for n in names if n.startswith("fused_shape_"))
+        assert fused == ["fused_shape_000.obj", "fused_shape_001.obj"]
+        # The replay embeds the fused point sets + per-frame rotations.
+        html = open(os.path.join(out, "replay.html")).read()
+        start = html.index("const DATA = ") + len("const DATA = ")
+        data = json.loads(html[start:html.index(";\n", start)])
+        assert data["pred"][0]["shape"], "fused shape points missing"
+        assert "R" in data["pred"][0]["dets"][0]
+        assert "scale" in data["pred"][0]
+        # Canonical points live in [-0.5, 0.5]^3.
+        pts = np.asarray(data["pred"][0]["shape"])
+        assert (np.abs(pts) <= 0.5).all()
+
     def test_export_sequence_writes_all_artifacts(self, tmp_path):
         out = str(tmp_path / "seq")
         export_sequence(out, self._trajs(), with_shapes=True,
