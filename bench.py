@@ -230,6 +230,16 @@ def main():
     # Pose point extraction: "grid" (fused box-grid sampling), "pallas"
     # (the per-frame Pallas kernel) or "full" (round-1 paste+gather).
     extraction = os.environ.get("BENCH_EXTRACT", "grid")
+    # Sequences folded into ONE fused program (VERDICT r2 weak #2): the
+    # detector runs batch S*25 and pose/graph/MPN runs as a length-S
+    # lax.map.  S>1 forces predict_mode="scan" (the unrolled per-image
+    # chain at batch 50+ is compile-prohibitive).
+    seqs_per_program = int(os.environ.get("BENCH_SEQS_PER_PROGRAM", "1"))
+    if not fused or skip_detector:
+        seqs_per_program = 1  # S only applies to the fused program
+    # "scan" measured faster than "unroll" at every batch (and compiles 5x
+    # quicker) in the round-3 A/B — NOTES_ROUND3.md.
+    predict_mode = os.environ.get("BENCH_PREDICT_MODE", "scan")
 
     from mot3d_tpu.runtime import enable_compilation_cache, require_backend
     enable_compilation_cache()
@@ -252,7 +262,7 @@ def main():
 
     cfg = default_config()
     cfg = cfg.replace(detection=dataclasses.replace(
-        cfg.detection, compute_dtype=dtype),
+        cfg.detection, compute_dtype=dtype, predict_mode=predict_mode),
         pose=dataclasses.replace(cfg.pose, extraction=extraction))
     tcfg = cfg.tracking
     dcfg = cfg.detection
@@ -310,31 +320,52 @@ def main():
                                  graph.edge_attr, graph.edge_mask)
         return frames, jax.nn.sigmoid(logits[-1]), graph.obj_ids
 
+    S = seqs_per_program
+
     def full_pipeline(det_params, trk_params, images, key):
-        """Detector + pose + graph + MPN: ONE program per sequence."""
+        """Detector + pose + graph + MPN: ONE program per S sequences.
+
+        The detector consumes all S*T frames in one batch (bigger convs on
+        the MXU); pose/graph/MPN then runs per sequence as a length-S
+        lax.map (its cost is gather/segment-dominated, where batching
+        doesn't help — see NOTES_ROUND3.md A/B)."""
         dets = det_model.apply(det_params, images, method=MaskRCNN.predict)
-        return pose_then_track(trk_params, dets.boxes, dets.scores,
-                               dets.classes, dets.valid, dets.masks,
-                               dets.voxels, dets.nocs, key)
+        if S == 1:
+            return pose_then_track(trk_params, dets.boxes, dets.scores,
+                                   dets.classes, dets.valid, dets.masks,
+                                   dets.voxels, dets.nocs, key)
+        dets_s = jax.tree_util.tree_map(
+            lambda a: a.reshape((S, T) + a.shape[1:]), dets)
+        keys = jax.random.split(key, S)
+        return jax.lax.map(
+            lambda x: pose_then_track(
+                trk_params, x[0].boxes, x[0].scores, x[0].classes,
+                x[0].valid, x[0].masks, x[0].voxels, x[0].nocs, x[1]),
+            (dets_s, keys))
 
     pose_track_jit = jax.jit(pose_then_track)
     stage_times = {}
+
+    # The fused program consumes S sequences at once.
+    prog_images = (seq_images if S == 1
+                   else jnp.tile(seq_images, (S, 1, 1, 1)))
 
     if not skip_detector:
         det_params = jax.jit(lambda k: det_model.init(
             k, seq_images, method=MaskRCNN.predict))(jax.random.PRNGKey(0))
         predict = jax.jit(
             lambda p, im: det_model.apply(p, im, method=MaskRCNN.predict))
-        log(f"compiling detector predict ({dtype}, batch {T}) ...")
+        log(f"compiling detector predict ({dtype}, batch {S * T}, "
+            f"mode {predict_mode}) ...")
         t0 = time.time()
-        dets0 = jax.block_until_ready(predict(det_params, seq_images))
+        dets0 = jax.block_until_ready(predict(det_params, prog_images))
         log(f"  detector compile+run: {time.time() - t0:.1f}s")
 
         # MFU: XLA's own flop count for the detector forward / chip peak.
         try:
             cost = (jax.jit(lambda p, im: det_model.apply(
                 p, im, method=MaskRCNN.predict))
-                .lower(det_params, seq_images).compile().cost_analysis())
+                .lower(det_params, prog_images).compile().cost_analysis())
             det_flops = float(cost.get("flops", 0.0))
         except Exception as e:
             log("cost_analysis unavailable:", e)
@@ -343,13 +374,13 @@ def main():
             fused_jit = jax.jit(full_pipeline)
             log("compiling fused detect+pose+track ...")
             t0 = time.time()
-            jax.block_until_ready(fused_jit(
-                det_params, trk_params, seq_images, jax.random.PRNGKey(2))[0]
-                .translations)
+            out0 = fused_jit(det_params, trk_params, prog_images,
+                             jax.random.PRNGKey(2))
+            jax.block_until_ready(out0[0].translations)
             log(f"  fused compile+run: {time.time() - t0:.1f}s")
 
-    # ---------------- per-sequence runners ---------------------------------
-    def run_sequence(seed):
+    # ---------------- per-program runners (S sequences each) ---------------
+    def run_program(seed):
         key = jax.random.PRNGKey(seed)
         if skip_detector:
             boxes = jnp.tile(jnp.asarray(scene.boxes[0, :min(D, M)]),
@@ -361,7 +392,7 @@ def main():
                 jnp.ones((T, D, 28, 28)), jnp.zeros((T, D, 32, 32, 32)),
                 jnp.full((T, D, 28, 28, 3), 0.5), key)
         if fused:
-            return fused_jit(det_params, trk_params, seq_images, key)
+            return fused_jit(det_params, trk_params, prog_images, key)
         dets = predict(det_params, seq_images)
         return pose_track_jit(trk_params, dets.boxes, dets.scores,
                               dets.classes, dets.valid, dets.masks,
@@ -386,23 +417,42 @@ def main():
             if hasattr(a, "copy_to_host_async"):
                 a.copy_to_host_async()
 
+    def assemble_program(res):
+        """Host-assemble every sequence of one fused program's result."""
+        frames, probs, obj_ids = res
+        if S == 1:
+            return [assemble_sequence(frames, probs, obj_ids)]
+        e = len(template.src_frame)
+        probs, obj_ids, valid, trans = jax.device_get(
+            (probs, obj_ids, frames.valid, frames.translations))
+        tracker = Tracker(tcfg)
+        return [tracker.assemble(template, probs[s][:e], obj_ids[s],
+                                 valid[s], trans[s],
+                                 np.zeros((T, D), np.int32))
+                for s in range(S)]
+
     log("compiling pose+track ...")
     t0 = time.time()
-    assemble_sequence(*run_sequence(0))
+    assemble_program(run_program(0))
     log(f"  pipeline compile+run: {time.time() - t0:.1f}s")
 
     # ---------------- per-stage breakdown (steady state) --------------------
     if not skip_detector:
         # Warm up the standalone stage programs (the fused headline path
         # compiles separately) so the table shows steady state, not compile.
-        dets = predict(det_params, seq_images)
+        # For S > 1 the detector stage runs the full S*T-frame batch; the
+        # pose stage is always measured per sequence (first T frames).
+        dets = jax.tree_util.tree_map(lambda a: a[:T], dets0)
         jax.block_until_ready(pose_track_jit(
             trk_params, dets.boxes, dets.scores, dets.classes, dets.valid,
             dets.masks, dets.voxels, dets.nocs,
             jax.random.PRNGKey(3))[0].translations)
 
+        frames_per_stage = {"detector_forward": S * T,
+                            "pose_graph_mpn": T,
+                            "host_assembly": S * T}
         t0 = time.time()
-        jax.block_until_ready(predict(det_params, seq_images).boxes)
+        jax.block_until_ready(predict(det_params, prog_images).boxes)
         stage_times["detector_forward"] = time.time() - t0
         t0 = time.time()
         jax.block_until_ready(pose_track_jit(
@@ -410,36 +460,50 @@ def main():
             dets.masks, dets.voxels, dets.nocs,
             jax.random.PRNGKey(3))[0].translations)
         stage_times["pose_graph_mpn"] = time.time() - t0
-        pend = run_sequence(99)
+        pend = run_program(99)
         jax.block_until_ready(pend[0].translations)
         t0 = time.time()
-        assemble_sequence(*pend)
+        assemble_program(pend)
         stage_times["host_assembly"] = time.time() - t0
 
-        log("per-stage steady state (one 25-frame sequence):")
+        log(f"per-stage steady state ({S} sequence(s) x {T} frames):")
         for k, v in stage_times.items():
-            log(f"  {k:>18}: {v * 1e3:7.1f} ms  ({v / T * 1e3:5.2f} ms/frame)")
+            n = frames_per_stage[k]
+            log(f"  {k:>18}: {v * 1e3:7.1f} ms  ({v / n * 1e3:5.2f} ms/frame)")
         if det_flops:
             peak = chip_peak_flops(dtype)
             mfu = det_flops / stage_times["detector_forward"] / peak
             log(f"detector forward: {det_flops / 1e12:.2f} TFLOP "
-                f"({det_flops / T / 1e9:.1f} GFLOP/frame), "
+                f"({det_flops / (S * T) / 1e9:.1f} GFLOP/frame), "
                 f"MFU = {100 * mfu:.1f}% of {peak / 1e12:.0f} TFLOP/s "
                 f"({dtype})")
 
     # ---------------- measure ---------------------------------------------
     # Launch all device work asynchronously, then drain + host-assemble.
+    # BENCH_ASSEMBLE_THREADS=N overlaps the per-program host assembly
+    # (device fetch + numpy trajectory build) across a thread pool — the
+    # fetch waits release the GIL, so assembly of program k can overlap
+    # program k+1's device work even on one core.
+    threads = int(os.environ.get("BENCH_ASSEMBLE_THREADS", "0"))
+    num_programs = max(1, num_seqs // S)
     t0 = time.time()
-    pending = [run_sequence(s + 1) for s in range(num_seqs)]
+    pending = [run_program(s + 1) for s in range(num_programs)]
     for p in pending:
         start_fetch(*p)
-    results = [assemble_sequence(*p) for p in pending]
+    if threads > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(threads) as pool:
+            results = [r for rs in pool.map(assemble_program, pending)
+                       for r in rs]
+    else:
+        results = [r for p in pending for r in assemble_program(p)]
     dt = time.time() - t0
     del results
-    frames_per_sec = num_seqs * T / dt
-    log(f"measured: {num_seqs} sequences x {T} frames in {dt:.2f}s "
-        f"-> {frames_per_sec:.2f} frames/s "
-        f"(fused={fused}, dtype={dtype}, extraction={extraction})")
+    frames_per_sec = num_programs * S * T / dt
+    log(f"measured: {num_programs} programs x {S} seqs x {T} frames in "
+        f"{dt:.2f}s -> {frames_per_sec:.2f} frames/s "
+        f"(fused={fused}, dtype={dtype}, extraction={extraction}, "
+        f"predict_mode={predict_mode})")
 
     # ---------------- baseline --------------------------------------------
     # Anchor = the reference's own code timed on this host for the two

@@ -124,10 +124,12 @@ class DetectionConfig:
     # Inference batching of the per-image proposal/NMS/pooling chain:
     # "unroll" emits the chain once per image (independent chains schedule
     # well but HLO grows linearly in batch — the fused 25-frame program's
-    # compile-time driver); "scan" runs ONE traced body under lax.scan
-    # (identical per-image semantics and VMEM residency, constant HLO size
-    # in batch).  Defaults from the round-3 A/B (NOTES_ROUND3.md).
-    predict_mode: str = "unroll"
+    # 280 s compile-time driver in round 2); "scan" runs ONE traced body
+    # under lax.map (identical per-image semantics, constant HLO size in
+    # batch).  Round-3 A/B on the v5e (NOTES_ROUND3.md): scan is FASTER at
+    # batch 25 (54.8 vs 61.2 ms) AND compiles 5x quicker (28 vs 147 s cold),
+    # so it is the default; "unroll" kept for A/B reproduction.
+    predict_mode: str = "scan"
     nms_thresh_test: float = 0.4             # combined setting (cfg_setup.py:123)
     detections_per_image: int = 16           # static max detections kept per image
     box_pooler_resolution: int = 7
@@ -262,6 +264,20 @@ class CombinedConfig:
     lr_gamma: float = 1.0
     tracking_lr: float = 1e-3
     tracking_weight_decay: float = 1e-4
+    # One joint backward (detection total + tracking loss, single
+    # value_and_grad over both param trees) instead of the reference's two
+    # backward calls (`train_combined.py:546-553`).  Identical updates with
+    # the parity-default detached pose; with pose.differentiable=True this
+    # is what lets the tracking loss reach the NOCS head through the
+    # Umeyama solver.  See parallel/train_step.py:make_combined_train_step.
+    joint_grad: bool = True
+    # Gradient accumulation over the windows of a combined batch (lax.scan,
+    # one window's activations in flight): identical updates, 1/batch the
+    # memory.  Required on one v5e chip at the reference's bs=2 full-res
+    # protocol (the vmapped step over-subscribes 16 GB HBM even with remat
+    # — round-3 train bench); leave False when windows-per-chip is 1 (the
+    # data-parallel mesh path) or at test/tiny shapes.
+    accum_windows: bool = False
     max_iter: int = 240_000
     eval_period: int = 1000
     checkpoint_period: int = 3000

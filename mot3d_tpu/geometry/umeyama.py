@@ -72,6 +72,20 @@ def _horn_rstar_scalars(c):
     """
     # s = cov.T (Horn's N is built from sum s t^T; ours is sum t s^T).
     s = [[c[j][i] for j in range(3)] for i in range(3)]
+    # Degenerate guard: an all-zero covariance (padded detection slot with
+    # every weight 0, or a RANSAC hypothesis that drew one coincident
+    # point) is replaced by the identity BEFORE any rsqrt touches it.
+    # Guarding only the outputs is not enough — `where` blocks the
+    # unselected branch's cotangent but that zero still multiplies the
+    # branch's internal inf derivatives (0 * inf = NaN), which poisons the
+    # whole batch gradient (root-caused by tests/test_combined_step.py::
+    # test_differentiable_pose_reaches_detector: differentiable-pose
+    # training was NaN).  Forward: degenerate lanes now return the identity
+    # rotation (they are masked invalid downstream either way).
+    ss = sum(s[i][j] ** 2 for i in range(3) for j in range(3))
+    pos = ss > 0
+    s = [[jnp.where(pos, s[i][j], 1.0 if i == j else 0.0) for j in range(3)]
+         for i in range(3)]
     tr = s[0][0] + s[1][1] + s[2][2]
     shift = 2.0 * jnp.sqrt(sum(s[i][j] ** 2 for i in range(3)
                                for j in range(3))) + 1e-12
@@ -89,15 +103,18 @@ def _horn_rstar_scalars(c):
     # leaves the top eigenvector unchanged.
     for _ in range(6):
         m = _sym4_square(m)
-        fro = jnp.sqrt(sum(m[i][j] ** 2 for i in range(4)
-                           for j in range(4)))
-        inv = 1.0 / jnp.maximum(fro, 1e-20)
+        f2 = sum(m[i][j] ** 2 for i in range(4) for j in range(4))
+        fpos = f2 > 0
+        fro = jnp.where(fpos, jnp.sqrt(jnp.where(fpos, f2, 1.0)), 0.0)
+        inv = 1.0 / jnp.maximum(fro, 1e-15)  # eps^2 must not FTZ in the VJP
         m = [[m[i][j] * inv for j in range(4)] for i in range(4)]
 
     # q = K^64 @ q0 (q0 = const), normalised -> unit quaternion.
     q = [m[i][0] + m[i][1] + m[i][2] + m[i][3] for i in range(4)]
-    qn = 1.0 / jnp.maximum(jnp.sqrt(q[0] ** 2 + q[1] ** 2
-                                    + q[2] ** 2 + q[3] ** 2), 1e-20)
+    q2 = q[0] ** 2 + q[1] ** 2 + q[2] ** 2 + q[3] ** 2
+    qpos = q2 > 0
+    qn = 1.0 / jnp.maximum(
+        jnp.where(qpos, jnp.sqrt(jnp.where(qpos, q2, 1.0)), 0.0), 1e-15)
     w, x, y, z = q[0] * qn, q[1] * qn, q[2] * qn, q[3] * qn
     return [
         [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
@@ -127,7 +144,9 @@ def _umeyama_fit_scalars(sc, tc, w):
     var_s = sum(((sc[j] - mus[j][..., None]) ** 2 * w).sum(-1)
                 for j in range(3)) / n
     degenerate = (var_s * trace) == 0.0
-    scale = jnp.where(degenerate, 1.0, trace / jnp.maximum(var_s, 1e-20))
+    # 1e-12, not 1e-20: the div VJP computes -g*x/denom^2 and 1e-40
+    # flushes to zero (subnormal FTZ) -> 0/0 NaN in the backward pass.
+    scale = jnp.where(degenerate, 1.0, trace / jnp.maximum(var_s, 1e-12))
     # translation = mu_t - scale * (r* @ mu_s).
     translation = [mut[j] - scale * sum(rstar[j][i] * mus[i]
                                         for i in range(3))
@@ -186,7 +205,9 @@ def umeyama_similarity(source: jax.Array, target: jax.Array,
     rotation = r_star.T  # reference convention stores the transpose
     var_s = ((source - mu_s) ** 2 * w[:, None]).sum() / n
     degenerate = (var_s * trace) == 0.0
-    scale = jnp.where(degenerate, 1.0, trace / jnp.maximum(var_s, 1e-20))
+    # 1e-12, not 1e-20: the div VJP computes -g*x/denom^2 and 1e-40
+    # flushes to zero (subnormal FTZ) -> 0/0 NaN in the backward pass.
+    scale = jnp.where(degenerate, 1.0, trace / jnp.maximum(var_s, 1e-12))
     # Translation = mu_t - mu_s . (s R)  == mu_t - s R^T mu_s
     translation = mu_t - scale * (rotation.T @ mu_s)
     return SimilarityTransform(scale, rotation, translation,
@@ -289,8 +310,9 @@ def ransac_umeyama(source: jax.Array, target: jax.Array, valid: jax.Array,
         trace = sum(rstar[i][j] * cov[i][j]
                     for i in range(3) for j in range(3))
         degenerate = (var_s * trace) == 0.0
+        # 1e-12, not 1e-20: denom^2 must stay a normal f32 in the div VJP.
         scale = jnp.where(degenerate, 1.0,
-                          trace / jnp.maximum(var_s, 1e-20))
+                          trace / jnp.maximum(var_s, 1e-12))
         # Translation in centred coordinates; uncentred only for the winner.
         tau = [mut[j] - scale * sum(rstar[j][i] * mus[i] for i in range(3))
                for j in range(3)]
@@ -318,7 +340,11 @@ def ransac_umeyama(source: jax.Array, target: jax.Array, valid: jax.Array,
                        for k in range(4) for l in range(4))
             rsq_total = rsq_total + c_q[j] - 2.0 * sum(
                 a[k] * b_q[j, k] for k in range(4)) + quad
-        model_res = jnp.sqrt(jnp.maximum(rsq_total, 0.0))  # (iters,)
+        # Grad-safe sqrt: a perfect (or clamped-negative) fit must not emit
+        # sqrt'(0) = inf into the differentiable-pose gradient.
+        rpos = rsq_total > 0
+        model_res = jnp.where(
+            rpos, jnp.sqrt(jnp.where(rpos, rsq_total, 1.0)), 0.0)  # (iters,)
 
         # Winner's per-point inlier test needs the uncentred transform.
         px = [source[:, j] for j in range(3)]             # (N,)
@@ -401,8 +427,16 @@ def estimate_similarity_transform(source: jax.Array, target: jax.Array,
     identity-ish fit still populated (callers mask on `.valid`).
     """
     n_valid = jnp.maximum(valid.sum(), 1)
-    norm_s = jnp.where(valid, jnp.linalg.norm(source, axis=-1), 0.0).sum() / n_valid
-    norm_t = jnp.where(valid, jnp.linalg.norm(target, axis=-1), 0.0).sum() / n_valid
+
+    def _safe_norms(pts):
+        # norm with a grad-safe sqrt: padded slots are exact zeros and
+        # sqrt'(0) = inf would NaN the differentiable-pose gradient.
+        sq = (pts ** 2).sum(-1)
+        pos = sq > 0
+        return jnp.where(pos, jnp.sqrt(jnp.where(pos, sq, 1.0)), 0.0)
+
+    norm_s = jnp.where(valid, _safe_norms(source), 0.0).sum() / n_valid
+    norm_t = jnp.where(valid, _safe_norms(target), 0.0).sum() / n_valid
     ratio_ts = norm_t / jnp.maximum(norm_s, 1e-12)
     ratio_st = norm_s / jnp.maximum(norm_t, 1e-12)
     pass_t = jnp.maximum(ratio_st, ratio_ts) * ratio_adapt

