@@ -486,6 +486,9 @@ def main():
     # program k+1's device work even on one core.
     threads = int(os.environ.get("BENCH_ASSEMBLE_THREADS", "0"))
     num_programs = max(1, num_seqs // S)
+    if num_programs * S != num_seqs:
+        log(f"note: BENCH_SEQS={num_seqs} not divisible by S={S}; "
+            f"measuring {num_programs * S} sequences")
     t0 = time.time()
     pending = [run_program(s + 1) for s in range(num_programs)]
     for p in pending:

@@ -8,8 +8,9 @@ unrolled per-image proposal/NMS chain); this script records what that costs
 programs, VERDICT r2 weak #2) change the picture.
 
 Run: PYTHONPATH=. python examples/predict_layout_ab.py [batch ...]
-Env: AB_DTYPE (default bfloat16), AB_NO_CACHE=1 to disable the persistent
-compilation cache so compile times are true cold numbers.
+Env: AB_DTYPE (default bfloat16).  The persistent compilation cache is
+DISABLED by default so compile times are true cold numbers; set
+AB_NO_CACHE=0 to enable the cache for quick re-runs.
 """
 
 import dataclasses

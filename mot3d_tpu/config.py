@@ -101,6 +101,14 @@ class DetectionConfig:
     backbone_depth: int = 50
     backbone_width: float = 1.0
     fpn_channels: int = 256
+    # Normalisation: "gn" (GroupNorm, from-scratch training default) or
+    # "affine" (frozen per-channel scale+bias — the eval-time form of the
+    # reference's FrozenBatchNorm/BatchNorm; required by the torch
+    # checkpoint importer, importers/torch_ckpt.py).
+    norm: str = "gn"
+    # torch view() semantics in the voxel head's feature->volume reshape
+    # (channel-major); set True (with norm="affine") for imported weights.
+    voxel_torch_reshape: bool = False
     # RPN.
     rpn_pre_nms_topk_train: int = 2000
     rpn_post_nms_topk_train: int = 1000

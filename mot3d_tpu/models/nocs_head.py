@@ -24,23 +24,32 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from mot3d_tpu.models.norms import AffineChannelNorm, make_norm
+
 
 class NocsDecoder(nn.Module):
-    """(N, 14, 14, 256) -> (N, 28, 28, 3) in [0, 1] (regression mode)."""
+    """(N, 14, 14, 256) -> (N, 28, 28, 3) in [0, 1] (regression mode).
+
+    norm="affine" is the torch-import parity mode: the reference's blocks
+    are ConvTranspose -> ReLU -> BatchNorm (`nocs_head.py:220-244`), so the
+    folded BN affine is applied AFTER the activation there (GroupNorm sits
+    between conv and ReLU in the from-scratch "gn" mode)."""
 
     dtype: object = None    # computation dtype (params stay f32)
+    norm: str = "gn"
 
     @nn.compact
     def __call__(self, x):
-        x = nn.ConvTranspose(256, (3, 3), padding="SAME",
-                             dtype=self.dtype)(x)
-        x = jax.nn.relu(nn.GroupNorm(32, dtype=self.dtype)(x))
-        x = nn.ConvTranspose(128, (3, 3), padding="SAME",
-                             dtype=self.dtype)(x)
-        x = jax.nn.relu(nn.GroupNorm(32, dtype=self.dtype)(x))
-        x = nn.ConvTranspose(64, (4, 4), strides=(2, 2), padding="SAME",
-                             dtype=self.dtype)(x)
-        x = jax.nn.relu(nn.GroupNorm(32, dtype=self.dtype)(x))
+        def block(x, ch, k, strides=(1, 1)):
+            x = nn.ConvTranspose(ch, k, strides=strides, padding="SAME",
+                                 dtype=self.dtype)(x)
+            if self.norm == "affine":
+                return AffineChannelNorm(dtype=self.dtype)(jax.nn.relu(x))
+            return jax.nn.relu(nn.GroupNorm(32, dtype=self.dtype)(x))
+
+        x = block(x, 256, (3, 3))
+        x = block(x, 128, (3, 3))
+        x = block(x, 64, (4, 4), strides=(2, 2))
         x = nn.ConvTranspose(3, (3, 3), padding="SAME", dtype=self.dtype)(x)
         return jax.nn.sigmoid(x.astype(jnp.float32))
 
@@ -51,17 +60,25 @@ class NocsBinDecoder(nn.Module):
 
     num_bins: int = 32
     dtype: object = None    # computation dtype (params stay f32)
+    norm: str = "gn"
 
     @nn.compact
     def __call__(self, x):
+        def nact(t):
+            # Reference tower blocks are ConvT -> ReLU -> BN
+            # (`nocs_head.py:171-215`); see NocsDecoder.
+            if self.norm == "affine":
+                return AffineChannelNorm(dtype=self.dtype)(jax.nn.relu(t))
+            return jax.nn.relu(nn.GroupNorm(32, dtype=self.dtype)(t))
+
         outs = []
         for ch in ("r", "g", "b"):
             t = nn.ConvTranspose(128, (3, 3), padding="SAME",
                                  name=f"l1_{ch}", dtype=self.dtype)(x)
-            t = jax.nn.relu(nn.GroupNorm(32, dtype=self.dtype)(t))
+            t = nact(t)
             t = nn.ConvTranspose(64, (4, 4), strides=(2, 2), padding="SAME",
                                  name=f"l2_{ch}", dtype=self.dtype)(t)
-            t = jax.nn.relu(nn.GroupNorm(32, dtype=self.dtype)(t))
+            t = nact(t)
             t = nn.ConvTranspose(self.num_bins, (3, 3), padding="SAME",
                                  name=f"l3_{ch}", dtype=self.dtype)(t)
             outs.append(t.astype(jnp.float32))

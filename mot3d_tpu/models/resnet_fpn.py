@@ -17,11 +17,14 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from mot3d_tpu.models.norms import make_norm
+
 
 class Bottleneck(nn.Module):
     channels: int           # bottleneck width; output = 4x
     stride: int = 1
     dtype: object = None    # computation dtype (params stay f32)
+    norm: str = "gn"        # "gn" or "affine" (imported FrozenBN)
 
     @nn.compact
     def __call__(self, x):
@@ -31,16 +34,16 @@ class Bottleneck(nn.Module):
             shortcut = nn.Conv(out_ch, (1, 1), strides=self.stride,
                                use_bias=False, dtype=self.dtype,
                                name="proj")(x)
-            shortcut = nn.GroupNorm(32, dtype=self.dtype,
-                                    name="proj_gn")(shortcut)
+            shortcut = make_norm(self.norm, 32, self.dtype,
+                                 name="proj_gn")(shortcut)
         y = nn.Conv(self.channels, (1, 1), use_bias=False,
                     dtype=self.dtype)(x)
-        y = jax.nn.relu(nn.GroupNorm(32, dtype=self.dtype)(y))
+        y = jax.nn.relu(make_norm(self.norm, 32, self.dtype)(y))
         y = nn.Conv(self.channels, (3, 3), strides=self.stride,
                     padding=1, use_bias=False, dtype=self.dtype)(y)
-        y = jax.nn.relu(nn.GroupNorm(32, dtype=self.dtype)(y))
+        y = jax.nn.relu(make_norm(self.norm, 32, self.dtype)(y))
         y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype)(y)
-        y = nn.GroupNorm(32, dtype=self.dtype)(y)
+        y = make_norm(self.norm, 32, self.dtype)(y)
         return jax.nn.relu(y + shortcut)
 
 
@@ -48,6 +51,7 @@ class ResNet(nn.Module):
     depth: int = 50
     width_mult: float = 1.0   # channel multiplier (tiny test configs)
     dtype: object = None
+    norm: str = "gn"
 
     @nn.compact
     def __call__(self, x):
@@ -56,13 +60,15 @@ class ResNet(nn.Module):
             return max(32, int(c * self.width_mult))
         x = nn.Conv(w(64), (7, 7), strides=2, padding=3, use_bias=False,
                     dtype=self.dtype, name="stem")(x)
-        x = jax.nn.relu(nn.GroupNorm(32, dtype=self.dtype, name="stem_gn")(x))
+        x = jax.nn.relu(make_norm(self.norm, 32, self.dtype,
+                                  name="stem_gn")(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         feats = []
         for stage, (n_blocks, ch) in enumerate(zip(blocks, (64, 128, 256, 512))):
             for b in range(n_blocks):
                 stride = 2 if (b == 0 and stage > 0) else 1
                 x = Bottleneck(w(ch), stride, dtype=self.dtype,
+                               norm=self.norm,
                                name=f"res{stage + 2}_{b}")(x)
             feats.append(x)
         return feats  # C2 (stride 4) .. C5 (stride 32)
@@ -95,6 +101,7 @@ class ResNetFPN(nn.Module):
     out_channels: int = 256
     width_mult: float = 1.0
     dtype: object = None
+    norm: str = "gn"
 
     @nn.compact
     def __call__(self, images):
@@ -103,6 +110,6 @@ class ResNetFPN(nn.Module):
         if self.dtype is not None:
             images = images.astype(self.dtype)
         c_feats = ResNet(self.depth, self.width_mult, self.dtype,
-                         name="resnet")(images)
+                         self.norm, name="resnet")(images)
         ps = FPN(self.out_channels, self.dtype, name="fpn")(c_feats)
         return [p.astype(jnp.float32) for p in ps]

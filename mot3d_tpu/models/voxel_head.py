@@ -18,26 +18,45 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from mot3d_tpu.geometry.iou3d import voxel_iou
+from mot3d_tpu.models.norms import make_norm
 
 
 class Pix2VoxDecoder(nn.Module):
-    """(N, 14, 14, C) pooled features -> (N, 32, 32, 32) occupancy logits."""
+    """(N, 14, 14, C) pooled features -> (N, 32, 32, 32) occupancy logits.
+
+    norm="affine" + torch_reshape=True is the torch-import parity mode: BN
+    statistics fold into per-channel affines and the feature->volume reshape
+    follows torch's channel-major view() semantics
+    (`Detection/roi_heads/voxel_head.py:147-148`: (N, 256, 14, 14) ->
+    (N, 784, 4, 4, 4)), so imported reference weights reproduce the
+    reference decoder exactly (importers/torch_ckpt.py).
+    """
 
     width_mult: float = 1.0
     dtype: object = None    # computation dtype (params stay f32)
+    norm: str = "gn"
+    torch_reshape: bool = False
 
     @nn.compact
     def __call__(self, x):
         n = x.shape[0]
-        vol = x.reshape(n, 4, 4, 4, -1)  # 784 at 256ch/14x14
+        if self.torch_reshape:
+            # torch view() groups the CHW-major flat index into (784, 4^3).
+            vol = jnp.transpose(x, (0, 3, 1, 2)).reshape(n, -1, 4, 4, 4)
+            vol = jnp.transpose(vol, (0, 2, 3, 4, 1))
+        else:
+            vol = x.reshape(n, 4, 4, 4, -1)  # 784 at 256ch/14x14
 
         def w(c):
             return max(8, int(c * self.width_mult))
 
         def gn(t):
-            return nn.GroupNorm(min(8, t.shape[-1]), dtype=self.dtype)(t)
+            return make_norm(self.norm, min(8, t.shape[-1]),
+                             self.dtype)(t)
 
         def ct(ch, k, **kw):
+            # The reference decoder's transposed convs are bias-free (BN
+            # follows each); keep a bias in gn mode (it replaces BN's beta).
             return nn.ConvTranspose(ch, k, padding="SAME", dtype=self.dtype,
                                     **kw)
 

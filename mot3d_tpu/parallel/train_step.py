@@ -143,6 +143,15 @@ def make_combined_train_step(det_model: MaskRCNN, trk_model: TrackerModel,
     reference's two-backward structure (needed to reproduce its exact
     update semantics when the pose is differentiable BUT the tracking
     gradient must still not reach the detector)."""
+    if accum_windows and not joint_grad:
+        # The two-backward path always vmaps over windows; silently running
+        # it would reintroduce the exact full-memory layout accum_windows
+        # exists to avoid (16 GB v5e OOM at bs=2 full-res).
+        raise ValueError(
+            "accum_windows=True requires joint_grad=True: gradient "
+            "accumulation is only implemented for the joint single-backward "
+            "step (the two-backward reference structure vmaps all windows "
+            "at full activation memory)")
     cam = cfg.camera
     intrinsics = make_intrinsics(cam.fx, cam.fy, cam.cx, cam.cy)
 
@@ -192,16 +201,16 @@ def make_combined_train_step(det_model: MaskRCNN, trk_model: TrackerModel,
         # window in the backward (measured in NOTES_ROUND3.md).
         window_forward = jax.checkpoint(window_forward)
 
+    def window_loss(both, win, r):
+        det_params, trk_params = both
+        det_losses, tl = window_forward(det_params, trk_params, win, r)
+        total = sum(v for k, v in det_losses.items()
+                    if k.startswith("loss"))
+        return total + tl, (total, tl, det_losses)
+
     def joint_step(state: CombinedTrainState, batch: CombinedBatch, rng):
         b = batch.images.shape[0]
         rngs = jax.random.split(rng, b)
-
-        def window_loss(both, win, r):
-            det_params, trk_params = both
-            det_losses, tl = window_forward(det_params, trk_params, win, r)
-            total = sum(v for k, v in det_losses.items()
-                        if k.startswith("loss"))
-            return total + tl, (total, tl, det_losses)
 
         if accum_windows and b > 1:
             # Gradient accumulation: one window in flight at a time
@@ -289,4 +298,9 @@ def make_combined_train_step(det_model: MaskRCNN, trk_model: TrackerModel,
         return (CombinedTrainState(det_params, det_opt_state, trk_params,
                                    trk_opt_state, state.step + 1), metrics)
 
-    return joint_step if joint_grad else step
+    out = joint_step if joint_grad else step
+    # Exposed for the decision-invariant accumulation test: the scan path's
+    # per-window gradient, runnable standalone as a sequential oracle
+    # (tests/test_combined_step.py).
+    out.window_grad_fn = jax.value_and_grad(window_loss, has_aux=True)
+    return out

@@ -95,31 +95,67 @@ def test_joint_grad_matches_two_backward_when_detached():
             det_model, trk_model, template, cfg, det_opt, trk_opt, **kw))
         out[key] = step(state, batch, rng)
 
-    # Gradient-accumulated (lax.scan) vs vmapped windows: compare at the
-    # GRADIENT level via sgd(1.0) — new_params - params == -grads.  adamw
-    # would amplify reassociation-level grad noise on near-zero leaves into
-    # full-sized update deltas (m/sqrt(v) is scale-free), which says nothing
-    # about accumulation correctness.
+    # Gradient accumulation (accum_windows lax.scan) correctness: compare
+    # at the GRADIENT level via sgd(1.0) — new_params - params == -grads.
+    # adamw would amplify reassociation-level grad noise on near-zero
+    # leaves into full-sized update deltas (m/sqrt(v) is scale-free).
+    #
+    # The ORACLE is the sequential per-window gradient (the step's own
+    # window_grad_fn run window by window, summed in f64): the scan body
+    # runs exactly this per-window arithmetic, so the comparison is
+    # decision-invariant.  The scan path is deliberately NOT compared
+    # elementwise against the vmapped path: vmapping the window batch
+    # reassociates the RANSAC scoring arithmetic, and with garbage-NOCS
+    # inputs (untrained detector) hypothesis residuals are near-tied, so
+    # the argmin winner legitimately flips between layouts — measured in
+    # round 4 as 5.6e-3 forward translation differences and ~0.5
+    # normalised gradient differences on 214k elements (NOTES_ROUND4.md;
+    # the same failure genus as the round-2/3 sharded-inference saga).
+    #
+    # Tolerances: one cancellation-heavy 8-element bias leaf reassociates
+    # to ~0.1 of its max element even between two compilations of the
+    # identical math (standalone jit vs scan body), so elementwise
+    # equality is asserted on >=99.99% of elements and the rest is bounded
+    # by a global relative-L2 — any REAL accumulation bug (dropped window,
+    # missing /b, stale params) shifts most leaves by O(1).
     sgd = optax.sgd(1.0)
     sgd_state = state._replace(det_opt_state=sgd.init(state.det_params),
                                trk_opt_state=sgd.init(state.trk_params))
-    sgd_out = {}
-    for key, acc in (("vmap", False), ("scan", True)):
-        step = jax.jit(make_combined_train_step(
-            det_model, trk_model, template, cfg, sgd, sgd,
-            joint_grad=True, accum_windows=acc))
-        sgd_out[key] = step(sgd_state, batch, rng)
-    for lv, ls, l0 in zip(
-            jax.tree_util.tree_leaves((sgd_out["vmap"][0].det_params,
-                                       sgd_out["vmap"][0].trk_params)),
-            jax.tree_util.tree_leaves((sgd_out["scan"][0].det_params,
-                                       sgd_out["scan"][0].trk_params)),
-            jax.tree_util.tree_leaves((state.det_params,
-                                       state.trk_params))):
-        gv = np.asarray(lv, np.float32) - np.asarray(l0, np.float32)
-        gs = np.asarray(ls, np.float32) - np.asarray(l0, np.float32)
-        scale = max(np.abs(gv).max(), 1e-8)
-        np.testing.assert_allclose(gs / scale, gv / scale, atol=2e-4)
+    step = make_combined_train_step(
+        det_model, trk_model, template, cfg, sgd, sgd,
+        joint_grad=True, accum_windows=True)
+    new_state, _ = jax.jit(step)(sgd_state, batch, rng)
+    g_scan = jax.tree_util.tree_map(
+        lambda old, new: np.asarray(old, np.float64)
+        - np.asarray(new, np.float64),
+        (state.det_params, state.trk_params),
+        (new_state.det_params, new_state.trk_params))
+
+    b = batch.images.shape[0]
+    rngs = jax.random.split(rng, b)  # same split as the step
+    grad_fn = jax.jit(step.window_grad_fn)
+    g_oracle = None
+    both = (state.det_params, state.trk_params)
+    for i in range(b):
+        win = jax.tree_util.tree_map(lambda a: a[i], batch)
+        _, g = grad_fn(both, win, rngs[i])
+        g = jax.tree_util.tree_map(lambda x: np.asarray(x, np.float64), g)
+        g_oracle = g if g_oracle is None else jax.tree_util.tree_map(
+            np.add, g_oracle, g)
+    g_oracle = jax.tree_util.tree_map(lambda x: x / b, g_oracle)
+
+    num = den = 0.0
+    n_bad = n_total = 0
+    for ls, lo in zip(jax.tree_util.tree_leaves(g_scan),
+                      jax.tree_util.tree_leaves(g_oracle)):
+        d = np.asarray(ls) - np.asarray(lo)
+        num += float((d ** 2).sum())
+        den += float((np.asarray(lo) ** 2).sum())
+        scale = max(np.abs(lo).max(), np.abs(ls).max(), 1e-8)
+        n_bad += int((np.abs(d) / scale > 2e-4).sum())
+        n_total += d.size
+    assert num <= 1e-6 * max(den, 1e-12), (num, den)   # global rel-L2 1e-3
+    assert n_bad <= max(1, n_total // 10_000), (n_bad, n_total)
 
     s0, m0 = out["two"]
     s1, m1 = out["joint"]
