@@ -46,22 +46,43 @@ def euler_to_rotmat(euler: jax.Array) -> jax.Array:
     return _rot_z(euler[2]) @ _rot_y(euler[1]) @ _rot_x(euler[0])
 
 
+def _grad_safe_arctan2(y: jax.Array, x: jax.Array) -> jax.Array:
+    """arctan2 whose backward survives (0, 0): the VJP is
+    (x g_y - y g_x) / (x^2 + y^2) = 0/0 -> NaN at the origin — and a NaN
+    there poisons the whole gradient EVEN under a zero cotangent (the
+    0 * inf genus; see NOTES_ROUND3.md umeyama fixes).  The origin's value
+    is arbitrary anyway; sanitise the inputs so its gradient is 0."""
+    origin = jnp.logical_and(y == 0.0, x == 0.0)
+    return jnp.arctan2(jnp.where(origin, 0.0, y),
+                       jnp.where(origin, 1.0, x))
+
+
 def rotmat_to_euler(rot: jax.Array) -> jax.Array:
     """3x3 rotation matrix -> XYZ Euler (radians), inverse of euler_to_rotmat.
 
-    Uses the standard decomposition of R = Rz Ry Rx; gimbal-safe via clipping.
+    Uses the standard decomposition of R = Rz Ry Rx; gimbal-safe via
+    clipping, and BACKWARD-safe at the gimbal poles: arcsin'(+-1) = inf and
+    arctan2(0, 0) both emit non-finite partials that poison the joint
+    gradient even when this euler's cotangent is zero (root cause of the
+    round-4 differentiable-pose training NaN — clean axis-aligned
+    rotations emerge as the detector converges, sy hits exactly +-1, and
+    the 0 * inf contaminates the shared backbone gradient through the
+    empty-graph where()).  At the poles the output is pinned to
+    sign(sy) * pi/2 with zero gradient (the true derivative is unbounded;
+    forward error of the pin is < 4.5e-4 rad inside the 1e-7 band).
     Accepts (..., 3, 3).
     """
     rot = jnp.asarray(rot)
-    sy = -rot[..., 2, 0]
-    sy = jnp.clip(sy, -1.0, 1.0)
-    y = jnp.arcsin(sy)
+    sy = jnp.clip(-rot[..., 2, 0], -1.0, 1.0)
+    at_pole = jnp.abs(sy) >= 1.0 - 1e-7
+    y = jnp.where(at_pole, jnp.sign(sy) * (jnp.pi / 2),
+                  jnp.arcsin(jnp.where(at_pole, 0.0, sy)))
     cy = jnp.sqrt(jnp.clip(1.0 - sy * sy, 1e-12, None))
     # Non-degenerate branch.
-    x = jnp.arctan2(rot[..., 2, 1], rot[..., 2, 2])
-    z = jnp.arctan2(rot[..., 1, 0], rot[..., 0, 0])
+    x = _grad_safe_arctan2(rot[..., 2, 1], rot[..., 2, 2])
+    z = _grad_safe_arctan2(rot[..., 1, 0], rot[..., 0, 0])
     # Degenerate (|cos y| ~ 0): fold everything into x.
-    x_deg = jnp.arctan2(-rot[..., 1, 2], rot[..., 1, 1])
+    x_deg = _grad_safe_arctan2(-rot[..., 1, 2], rot[..., 1, 1])
     z_deg = jnp.zeros_like(z)
     degenerate = cy < 1e-6
     x = jnp.where(degenerate, x_deg, x)

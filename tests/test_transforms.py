@@ -114,3 +114,40 @@ class TestCad2World:
         np.testing.assert_allclose(mat[:3, :3], 2.0 * ref_rot, atol=1e-5)
         np.testing.assert_allclose(mat[:3, 3], np.asarray(loc), atol=1e-6)
         np.testing.assert_allclose(mat[3], [0, 0, 0, 1])
+
+
+class TestEulerGradSafety:
+    def test_gimbal_pole_gradient_finite(self):
+        """arcsin'(+-1) = inf and arctan2(0,0)'s 0/0 VJP must not emit
+        non-finite partials — even under a ZERO cotangent they poison the
+        joint gradient (0 * inf); root cause of the round-4
+        differentiable-pose training NaN (NOTES_ROUND4.md)."""
+        import jax
+        from mot3d_tpu.geometry.transforms import (euler_to_rotmat,
+                                                   rotmat_to_euler)
+        poles = [
+            jnp.array([0.0, np.pi / 2, 0.0]),    # sy = +1 exactly
+            jnp.array([0.0, -np.pi / 2, 0.0]),   # sy = -1
+            jnp.array([0.3, np.pi / 2, -0.2]),   # pole w/ other angles
+            jnp.array([0.0, 0.0, np.pi]),        # 180 about z
+            jnp.array([np.pi, 0.0, 0.0]),
+        ]
+        for e in poles:
+            r = euler_to_rotmat(e)
+            g_live = jax.grad(lambda m: rotmat_to_euler(m).sum())(r)
+            assert np.isfinite(np.asarray(g_live)).all(), e
+            # zero-cotangent composition (empty-graph where() in the
+            # combined step): the gradient must be exactly zero, not NaN.
+            g_zero = jax.grad(
+                lambda m: jnp.where(False, rotmat_to_euler(m).sum(), 0.0))(r)
+            np.testing.assert_array_equal(np.asarray(g_zero),
+                                          np.zeros((3, 3), np.float32))
+
+    def test_pole_values_still_correct(self):
+        from mot3d_tpu.geometry.transforms import (euler_to_rotmat,
+                                                   rotmat_to_euler)
+        e = jnp.array([0.0, np.pi / 2, 0.0])
+        got = np.asarray(rotmat_to_euler(euler_to_rotmat(e)))
+        r2 = np.asarray(euler_to_rotmat(jnp.asarray(got)))
+        np.testing.assert_allclose(r2, np.asarray(euler_to_rotmat(e)),
+                                   atol=1e-5)
