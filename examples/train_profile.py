@@ -141,15 +141,24 @@ def main():
         log(f"{name:>14}: compile {c:6.1f}s  steady {b * 1e3:7.1f} ms")
         return b
 
+    only = os.environ.get("TP_ONLY", "").split(",") if (
+        os.environ.get("TP_ONLY")) else None
+
+    def want(name):
+        return only is None or name in only
+
     results = {}
     results["full"] = run("full", grad_step(None))
-    results["no_dense"] = run("no_dense", grad_step(
-        ("loss_rpn_cls", "loss_rpn_loc", "loss_cls", "loss_box_reg",
-         "loss_mask")))
-    results["no_mask"] = run("no_mask", grad_step(
-        ("loss_rpn_cls", "loss_rpn_loc", "loss_cls", "loss_box_reg")))
-    results["rpn_only"] = run("rpn_only", grad_step(
-        ("loss_rpn_cls", "loss_rpn_loc")))
+    if want("no_dense"):
+        results["no_dense"] = run("no_dense", grad_step(
+            ("loss_rpn_cls", "loss_rpn_loc", "loss_cls", "loss_box_reg",
+             "loss_mask")))
+    if want("no_mask"):
+        results["no_mask"] = run("no_mask", grad_step(
+            ("loss_rpn_cls", "loss_rpn_loc", "loss_cls", "loss_box_reg")))
+    if want("rpn_only"):
+        results["rpn_only"] = run("rpn_only", grad_step(
+            ("loss_rpn_cls", "loss_rpn_loc")))
 
     def backbone_only(params, opt_state, images, gt, rng):
         def loss_fn(p):
@@ -162,14 +171,17 @@ def main():
         loss, grads = jax.value_and_grad(loss_fn)(params)
         return loss + jax.tree_util.tree_leaves(grads)[0].ravel()[0] * 0
 
-    results["backbone_only"] = run("backbone_only", jax.jit(backbone_only))
+    if want("backbone_only"):
+        results["backbone_only"] = run("backbone_only",
+                                       jax.jit(backbone_only))
 
     def fwd_only(params, opt_state, images, gt, rng):
         losses = model.apply(params, images, gt, rng,
                              method=MaskRCNN.train_losses)
         return sum(v for k, v in losses.items() if k.startswith("loss"))
 
-    results["fwd_only"] = run("fwd_only", jax.jit(fwd_only))
+    if want("fwd_only"):
+        results["fwd_only"] = run("fwd_only", jax.jit(fwd_only))
 
     # Input feed: host->device time for one batch (uncached arrays).
     feeds = []
@@ -193,18 +205,20 @@ def main():
     except Exception as e:
         log("cost_analysis unavailable:", e)
 
-    log("deltas (ms):")
-    log(f"  dense heads (voxel+NOCS): "
-        f"{(results['full'] - results['no_dense']) * 1e3:7.1f}")
-    log(f"  mask head:                "
-        f"{(results['no_dense'] - results['no_mask']) * 1e3:7.1f}")
-    log(f"  box head + ROI sample:    "
-        f"{(results['no_mask'] - results['rpn_only']) * 1e3:7.1f}")
-    log(f"  RPN labelling over conv:  "
-        f"{(results['rpn_only'] - results['backbone_only']) * 1e3:7.1f}")
-    log(f"  backbone fwd+bwd:         {results['backbone_only'] * 1e3:7.1f}")
-    log(f"  backward share (full - fwd_only): "
-        f"{(results['full'] - results['fwd_only']) * 1e3:7.1f}")
+    if only is None:
+        log("deltas (ms):")
+        log(f"  dense heads (voxel+NOCS): "
+            f"{(results['full'] - results['no_dense']) * 1e3:7.1f}")
+        log(f"  mask branch:              "
+            f"{(results['no_dense'] - results['no_mask']) * 1e3:7.1f}")
+        log(f"  box head + ROI sample:    "
+            f"{(results['no_mask'] - results['rpn_only']) * 1e3:7.1f}")
+        log(f"  RPN labelling over conv:  "
+            f"{(results['rpn_only'] - results['backbone_only']) * 1e3:7.1f}")
+        log(f"  backbone fwd+bwd:         "
+            f"{results['backbone_only'] * 1e3:7.1f}")
+        log(f"  backward share (full - fwd_only): "
+            f"{(results['full'] - results['fwd_only']) * 1e3:7.1f}")
 
 
 if __name__ == "__main__":

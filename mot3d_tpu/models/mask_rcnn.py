@@ -209,16 +209,12 @@ class MaskRCNN(nn.Module):
         feats4 = list(feats[:4])
         pooled7 = multilevel_roi_align_batched_packed(
             feats4, samples.boxes, c.box_pooler_resolution, STRIDES)
-        pooled14 = multilevel_roi_align_batched_packed(
-            feats4, samples.boxes, c.mask_pooler_resolution, STRIDES)
         rr = samples.boxes.shape[1]
         pooled7 = pooled7.reshape((b * rr,) + pooled7.shape[2:])
-        pooled14 = pooled14.reshape((b * rr,) + pooled14.shape[2:])
         boxes_all = samples.boxes.reshape(b * rr, 4)
         valid_all = samples.valid.reshape(-1)
         is_pos_all = samples.is_pos.reshape(-1)
         cls_all = samples.gt_class.reshape(-1)
-        matched_all = samples.matched_gt.reshape(-1)
         matched_boxes = jax.vmap(lambda gb, mg: gb[mg])(
             gt.boxes, samples.matched_gt).reshape(b * rr, 4)
 
@@ -239,25 +235,53 @@ class MaskRCNN(nn.Module):
         box_l = smooth_l1(sel_deltas - gt_d).sum(-1)
         box_loss = (box_l * is_pos_all).sum() / n_valid
 
+        # --- per-image foreground buffer for the mask/voxel/NOCS branches.
+        # detectron2 runs these heads on FOREGROUND proposals only
+        # (select_foreground_proposals); pooling 14x14 features and running
+        # the mask head + target ROIAlign over all R sampled ROIs was
+        # 124.5 ms of the 179.7 ms bs=2 train step (examples/
+        # train_profile.py).  k covers every possible positive: the sampler
+        # caps positives at roi_batch_per_image * positive_fraction (~102)
+        # < fg_head_buffer (128), so the selected set of positives — and
+        # with it every loss value — is unchanged; only dead always-masked
+        # background rows are dropped.
+        k_im = min(rr, c.fg_head_buffer)
+        fg_rank_im = jnp.argsort(samples.is_pos <= 0, axis=1)[:, :k_im]
+        fg_boxes_im = jnp.take_along_axis(
+            samples.boxes, fg_rank_im[:, :, None], 1)       # (B, K, 4)
+        fg_matched_im = jnp.take_along_axis(
+            samples.matched_gt, fg_rank_im, 1)              # (B, K)
+        pooled14 = multilevel_roi_align_batched_packed(
+            feats4, fg_boxes_im, c.mask_pooler_resolution, STRIDES)
+        pooled14 = pooled14.reshape((b * k_im,) + pooled14.shape[2:])
+        fg_is_pos = jnp.take_along_axis(
+            samples.is_pos, fg_rank_im, 1).reshape(-1)
+        fg_cls_all = jnp.take_along_axis(
+            samples.gt_class, fg_rank_im, 1).reshape(-1)
+        fg_matched_all = fg_matched_im.reshape(-1)
+        fg_boxes_all = fg_boxes_im.reshape(b * k_im, 4)
+        fg_gt_boxes_all = jax.vmap(lambda gb, mg: gb[mg])(
+            gt.boxes, fg_matched_im).reshape(b * k_im, 4)
+
         # Mask loss (channels trick for targets).
         mask_logits = self.mask_head(pooled14)
         sel_mask = jnp.take_along_axis(
-            mask_logits, jnp.clip(cls_all, 0, c.num_classes - 1)
-            [:, None, None, None], -1)[..., 0]  # (N, 28, 28)
+            mask_logits, jnp.clip(fg_cls_all, 0, c.num_classes - 1)
+            [:, None, None, None], -1)[..., 0]  # (B*K, 28, 28)
         def _mask_targets(m, bx, mg):
             mm = m.astype(jnp.float32).transpose(1, 2, 0)   # (H, W, M)
-            pooled_m = roi_align(mm, bx, 28)                # (R, 28, 28, M)
+            pooled_m = roi_align(mm, bx, 28)                # (K, 28, 28, M)
             return jnp.take_along_axis(
                 pooled_m, mg[:, None, None, None], -1)[..., 0]
 
         mask_tgt = jax.vmap(_mask_targets)(
-            gt.masks, samples.boxes, samples.matched_gt)
-        mask_tgt = (mask_tgt.reshape(b * rr, 28, 28) >= 0.5).astype(
+            gt.masks, fg_boxes_im, fg_matched_im)
+        mask_tgt = (mask_tgt.reshape(b * k_im, 28, 28) >= 0.5).astype(
             jnp.float32)
         mask_bce = (mask_tgt * jax.nn.softplus(-sel_mask)
                     + (1 - mask_tgt) * jax.nn.softplus(sel_mask)).mean((1, 2))
-        n_pos = jnp.maximum(is_pos_all.sum(), 1.0)
-        mask_loss = (mask_bce * is_pos_all).sum() / n_pos
+        n_pos = jnp.maximum(fg_is_pos.sum(), 1.0)
+        mask_loss = (mask_bce * fg_is_pos).sum() / n_pos
 
         losses = {
             "loss_rpn_cls": rpn_obj_l,
@@ -268,17 +292,21 @@ class MaskRCNN(nn.Module):
         }
 
         # --- voxel + NOCS heads on a fixed buffer of top positives ---
+        # (selected from the per-image fg buffer above — same global set:
+        # the stable flat argsort orders positives image-0-major exactly as
+        # the pre-r4 flat selection over all ROIs did.)
         if c.voxel_on or c.nocs_on:
-            k_fg = min(c.fg_head_buffer, boxes_all.shape[0])
+            k_fg = min(c.fg_head_buffer, pooled14.shape[0])
             # rank positives first (stable)
-            fg_rank = jnp.argsort(is_pos_all <= 0)[:k_fg]
+            fg_rank = jnp.argsort(fg_is_pos <= 0)[:k_fg]
             fg_pooled = pooled14[fg_rank]
-            fg_w = is_pos_all[fg_rank].astype(jnp.float32)
-            fg_cls = cls_all[fg_rank]
-            fg_boxes = boxes_all[fg_rank]
-            fg_gt_boxes = matched_boxes[fg_rank]
-            img_of = jnp.repeat(jnp.arange(b, dtype=jnp.int32), rr)[fg_rank]
-            fg_matched = matched_all[fg_rank]
+            fg_w = fg_is_pos[fg_rank].astype(jnp.float32)
+            fg_cls = fg_cls_all[fg_rank]
+            fg_boxes = fg_boxes_all[fg_rank]
+            fg_gt_boxes = fg_gt_boxes_all[fg_rank]
+            img_of = jnp.repeat(jnp.arange(b, dtype=jnp.int32),
+                                k_im)[fg_rank]
+            fg_matched = fg_matched_all[fg_rank]
 
             if c.voxel_on:
                 vox_logits = self.voxel_head(fg_pooled)
