@@ -193,12 +193,14 @@ def make_combined_train_step(det_model: MaskRCNN, trk_model: TrackerModel,
 
     if remat:
         # Rematerialise each window's forward in the backward pass instead
-        # of storing its activations: the combined step at the reference's
-        # bs=2 (2 windows x 2 frames, full MOTFront resolution) exceeds the
-        # 16 GB v5e HBM without this (round-3 train bench: RESOURCE_EXHAUSTED
-        # at compile), while the reference fits an 11 GB GPU because eager
-        # torch frees per-stage activations.  Cost: one extra forward per
-        # window in the backward (measured in NOTES_ROUND3.md).
+        # of storing its activations.  History: at the reference's bs=2
+        # (2 windows x 2 frames, full MOTFront resolution) the round-3
+        # step exceeded 16 GB v5e HBM without remat and crashed the remote
+        # compiler WITH it (NOTES_ROUND3.md); after round 4 moved the mask
+        # branch onto the foreground buffer (4x smaller pooled14 path),
+        # BOTH full-shape B=2 forms compile and run
+        # (examples/remat_crash_repro.py: res256 B2 remat0/remat1 both
+        # OK).  remat stays the default for headroom at larger windows.
         window_forward = jax.checkpoint(window_forward)
 
     def window_loss(both, win, r):
