@@ -48,7 +48,8 @@ from mot3d_tpu.models.voxel_head import Pix2VoxDecoder, voxel_loss
 from mot3d_tpu.ops.nms import (classwise_nms_mask, gather_rows,
                                top_k_by_score)
 from mot3d_tpu.ops.roi_align import (multilevel_roi_align_batched_packed,
-                                     multilevel_roi_align_packed, roi_align)
+                                     multilevel_roi_align_packed, roi_align,
+                                     roi_align_matmul)
 
 STRIDES = (4, 8, 16, 32)          # P2..P5 (ROI pooling levels)
 RPN_STRIDES = (4, 8, 16, 32, 64)  # + P6 for proposals
@@ -270,7 +271,10 @@ class MaskRCNN(nn.Module):
             [:, None, None, None], -1)[..., 0]  # (B*K, 28, 28)
         def _mask_targets(m, bx, mg):
             mm = m.astype(jnp.float32).transpose(1, 2, 0)   # (H, W, M)
-            pooled_m = roi_align(mm, bx, 28)                # (K, 28, 28, M)
+            # Separable-matmul ROIAlign: pooling full-res GT masks was the
+            # remaining mask-branch hot spot after the fg-buffer fix (the
+            # gather form walks (K, 28, 2, 28, 2, M) HBM indices).
+            pooled_m = roi_align_matmul(mm, bx, 28)         # (K, 28, 28, M)
             return jnp.take_along_axis(
                 pooled_m, mg[:, None, None, None], -1)[..., 0]
 

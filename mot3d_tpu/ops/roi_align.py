@@ -85,6 +85,31 @@ def roi_align(feature: jax.Array, boxes: jax.Array, output_size: int,
     return acc.mean(axis=(2, 4))
 
 
+def roi_align_matmul(feature: jax.Array, boxes: jax.Array, output_size: int,
+                     spatial_scale: float = 1.0,
+                     sampling_ratio: int = 2) -> jax.Array:
+    """Single-level ROIAlign as two separable weight MATMULS (MXU form).
+
+    Identical semantics to `roi_align` (ROIAlignV2, aligned=True): the op
+    is linear in the feature map and separable per axis, so the subsample
+    mean and bilinear corners fold into one dense (N, out, size) weight
+    matrix per axis and the pool becomes W_y @ F @ W_x^T per box — MXU
+    matmuls instead of (N, out, s, out, s, C) HBM gathers.  The gather
+    form was the mask-target hot spot in the train step: full-res
+    (256, 320, M) GT-mask pooling over the foreground buffer
+    (examples/train_profile.py, round 4).  feature (H, W, C),
+    boxes (N, 4) XYXY -> (N, out, out, C).
+    """
+    h, w, _ = feature.shape
+    b = boxes * spatial_scale - 0.5  # aligned=True half-pixel offset
+    ry = _separable_roi_weights(b[:, 1], b[:, 3], output_size,
+                                sampling_ratio, h)    # (N, out, H)
+    cx = _separable_roi_weights(b[:, 0], b[:, 2], output_size,
+                                sampling_ratio, w)    # (N, out, W)
+    rows = jnp.einsum("nih,hwc->niwc", ry, feature)
+    return jnp.einsum("niwc,njw->nijc", rows, cx)
+
+
 def _separable_roi_weights(lo: jax.Array, hi: jax.Array, out: int, s: int,
                            size) -> jax.Array:
     """Combined ROIAlignV2 interpolation weights for one axis.

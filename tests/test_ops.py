@@ -266,3 +266,21 @@ class TestPallasNMS:
         keep_x = np.asarray(nms_mask(jnp.array(boxes), jnp.array(scores),
                                      jnp.array(valid), 0.5, exact=True))
         np.testing.assert_array_equal(keep_p, keep_x)
+
+
+def test_roi_align_matmul_matches_gather():
+    """The separable-matmul single-level ROIAlign must equal the gather
+    form exactly (same subsample/bilinear weights, reassociated)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from mot3d_tpu.ops.roi_align import roi_align, roi_align_matmul
+    rng = np.random.default_rng(3)
+    feat = jnp.asarray(rng.normal(size=(40, 52, 6)), jnp.float32)
+    boxes = np.zeros((9, 4), np.float32)
+    boxes[:, 0] = rng.uniform(-5, 40, 9)
+    boxes[:, 1] = rng.uniform(-5, 30, 9)
+    boxes[:, 2] = boxes[:, 0] + rng.uniform(2, 20, 9)
+    boxes[:, 3] = boxes[:, 1] + rng.uniform(2, 20, 9)
+    a = np.asarray(roi_align(feat, jnp.asarray(boxes), 7))
+    b = np.asarray(roi_align_matmul(feat, jnp.asarray(boxes), 7))
+    np.testing.assert_allclose(b, a, atol=2e-5)
