@@ -362,13 +362,21 @@ def main(argv=None):
         import jax.numpy as jnp
         import optax
         from mot3d_tpu.importers.torch_ckpt import (
-            import_detectron2_maskrcnn, import_tracking_modules,
-            load_torch_state_dict)
+            import_config, import_detectron2_maskrcnn,
+            import_tracking_modules, load_torch_state_dict)
         from mot3d_tpu.train.checkpoints import CheckpointManager
+        # Detector and tracking states are different pytrees; saving both
+        # at step 0 of ONE Orbax dir would silently drop the second save
+        # (CheckpointManager.save returns False on an existing step), so a
+        # combined invocation writes distinct subdirectories.
+        both = bool(args.pth) and bool(args.voxel_encoder)
+        det_dir = os.path.join(args.out, "det", "ckpt") if both \
+            else os.path.join(args.out, "ckpt")
+        trk_dir = os.path.join(args.out, "trk", "ckpt") if both \
+            else os.path.join(args.out, "ckpt")
         if args.pth:
             from mot3d_tpu.models.mask_rcnn import MaskRCNN
-            det = _dc.replace(cfg.detection, norm="affine",
-                              voxel_torch_reshape=True)
+            det = import_config(cfg.detection)
             sd = load_torch_state_dict(args.pth)
             init_params = None
             if args.allow_partial:
@@ -384,11 +392,13 @@ def main(argv=None):
                               weight_decay=cfg.combined.detection_weight_decay)
             state = DetectionTrainState(variables, opt.init(variables),
                                         jnp.zeros((), jnp.int32))
-            CheckpointManager(os.path.join(args.out, "ckpt")).save(0, state)
+            assert CheckpointManager(det_dir).save(0, state), \
+                f"orbax refused the detector save at {det_dir}"
             n = sum(x.size for x in jax.tree_util.tree_leaves(variables))
             print(f"imported detector ({n / 1e6:.1f}M params) -> "
-                  f"{args.out}/ckpt; use with detection.norm=affine "
-                  f"detection.voxel_torch_reshape=true")
+                  f"{det_dir}; use with detection.norm=affine "
+                  f"detection.voxel_torch_reshape=true "
+                  f"detection.anchor_offset=0.0")
         if args.voxel_encoder or args.graph_net or args.edge_classifier:
             if not (args.voxel_encoder and args.graph_net
                     and args.edge_classifier):
@@ -404,10 +414,11 @@ def main(argv=None):
                                weight_decay=cfg.tracking.weight_decay)
             state = TrackingTrainState(variables, topt.init(variables),
                                        jnp.zeros((), jnp.int32))
-            CheckpointManager(os.path.join(args.out, "ckpt")).save(0, state)
+            assert CheckpointManager(trk_dir).save(0, state), \
+                f"orbax refused the tracking save at {trk_dir}"
             n = sum(x.size for x in jax.tree_util.tree_leaves(variables))
             print(f"imported tracking modules ({n / 1e6:.2f}M params) -> "
-                  f"{args.out}/ckpt")
+                  f"{trk_dir}")
         if not (args.pth or args.voxel_encoder):
             raise SystemExit("nothing to import: pass --pth and/or the "
                              "three tracking module paths")

@@ -109,6 +109,11 @@ class DetectionConfig:
     # torch view() semantics in the voxel head's feature->volume reshape
     # (channel-major); set True (with norm="affine") for imported weights.
     voxel_torch_reshape: bool = False
+    # Stage stride on the bottleneck 1x1 conv (detectron2 caffe-style R50
+    # zoo weights, RESNETS.STRIDE_IN_1X1=True) vs the 3x3 (torchvision
+    # style, our from-scratch default).  Imported checkpoints need True —
+    # same weights compute a different function otherwise.
+    stride_in_1x1: bool = False
     # RPN.
     rpn_pre_nms_topk_train: int = 2000
     rpn_post_nms_topk_train: int = 1000
@@ -121,6 +126,11 @@ class DetectionConfig:
     rpn_neg_iou: float = 0.3
     anchor_sizes: Tuple[int, ...] = (32, 64, 128, 256, 512)
     anchor_ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
+    # Anchor centres sit at (i + anchor_offset) * stride.  0.5 (cell
+    # centres) is our from-scratch default; detectron2's
+    # DefaultAnchorGenerator uses 0.0, so the torch-checkpoint importer
+    # configures 0.0 to decode imported RPN deltas exactly.
+    anchor_offset: float = 0.5
     # ROI heads (cfg_setup.py:62-67).
     roi_batch_per_image: int = 512
     roi_positive_fraction: float = 0.20

@@ -38,6 +38,53 @@ def _project(pts_cam, cam: CameraConfig):
     return u, v, z
 
 
+# NOCS half-extent of the fixture cube: faces sit at nocs 0.02 / 0.98
+# (matching the 32^3 binvox whose occupied region is voxels 6..26).
+_BOX_H = 0.48
+
+
+def _pixel_rays(cam: CameraConfig) -> np.ndarray:
+    """(H, W, 3) camera-space ray directions scaled so that the point at
+    depth t along a ray is t * dir (depth = the value stored in the
+    depth png, i.e. -Z_cam under `_project`'s convention)."""
+    dx = (np.arange(cam.width) - cam.cx) / cam.fx
+    dy = -(np.arange(cam.height) - cam.cy) / cam.fy
+    d = np.empty((cam.height, cam.width, 3), np.float64)
+    d[:, :, 0] = dx[None, :]
+    d[:, :, 1] = dy[:, None]
+    d[:, :, 2] = -1.0
+    return d
+
+
+def _raycast_box(d_cam: np.ndarray, campose: np.ndarray, ob: dict):
+    """Exact per-pixel ray / oriented-box intersection.
+
+    Returns (hit (H, W) bool, t0 (H, W) depth, nocs (H, W, 3)) for the
+    fixture cube `ob` — dense and analytically exact, unlike the former
+    60k-point scatter whose holes and point-rounding made cross-frame
+    NOCS targets self-inconsistent by 0.2175 (PARITY.md); that noise
+    capped learned-NOCS pose quality (round-4 study: 127 deg rotation
+    error vs the oracle's 2-7 deg)."""
+    cy, sy = np.cos(ob["yaw"]), np.sin(ob["yaw"])
+    R = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]], np.float64)
+    extent = 2.0 * ob["scale"] * np.asarray(ob["half"], np.float64)
+    # Ray in the box's NOCS-centred frame: q(t) = q0 + t * dq.
+    q0 = R.T @ (campose[:3, 3] - ob["loc"]) / extent
+    dq = (d_cam @ (R.T @ campose[:3, :3]).T) / extent
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t_a = (-_BOX_H - q0) / dq
+        t_b = (_BOX_H - q0) / dq
+    t_lo, t_hi = np.minimum(t_a, t_b), np.maximum(t_a, t_b)
+    par = np.abs(dq) < 1e-12                 # ray parallel to a slab pair
+    inside = np.abs(q0) <= _BOX_H
+    t_lo = np.where(par, np.where(inside, -np.inf, np.inf), t_lo)
+    t_hi = np.where(par, np.where(inside, np.inf, -np.inf), t_hi)
+    t0 = t_lo.max(-1)
+    hit = (t_hi.min(-1) >= t0) & (t0 > 0.05)
+    nocs = np.clip(q0 + t0[..., None] * dq + 0.5, 0.0, 1.0)
+    return hit, t0, nocs
+
+
 def write_motfront_fixture(root: str, split: str = "train", num_scenes: int = 1,
                            num_frames: int = 3, num_objects: int = 2,
                            seed: int = 0, voxel_root: str | None = None,
@@ -121,37 +168,29 @@ def write_motfront_fixture(root: str, split: str = "train", num_scenes: int = 1,
             nocs16 = np.zeros((H, W, 3), np.uint16)
             rgb = np.full((H, W, 3), 60, np.uint8)
             frame_annos = []
+            d_cam = _pixel_rays(cam)
 
             for ob in objs:
-                n = 60000
-                pts = rng.uniform(0.02, 0.98, size=(n, 3))
-                face = rng.integers(0, 6, n)
-                pts[np.arange(n), face % 3] = np.where(face < 3, 0.02, 0.98)
-                nocs_pts = pts - 0.5
-                cy, sy = np.cos(ob["yaw"]), np.sin(ob["yaw"])
-                R = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]])
-                world = (ob["scale"] * nocs_pts * ob["half"] * 2) @ R.T + ob["loc"]
-                pc = world @ world2cam[:3, :3].T + world2cam[:3, 3]
-                u, v, z = _project(pc, cam)
-                ui = np.round(u).astype(int)
-                vi = np.round(v).astype(int)
-                ok = (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H) & (z > 0)
-                order = np.argsort(-z[ok])
-                uu, vv, zz = ui[ok][order], vi[ok][order], z[ok][order]
-                nn = (nocs_pts[ok] + 0.5)[order]
-                closer = zz < zbuf[vv, uu]
-                uu, vv, zz, nn = uu[closer], vv[closer], zz[closer], nn[closer]
-                zbuf[vv, uu] = zz
-                depth[vv, uu] = zz
-                nocs16[vv, uu] = (nn * 65535).astype(np.uint16)
-                rgb[vv, uu] = (50 + ob["cat"] * 25) % 255
+                # Dense analytic raster: exact depth + NOCS at every
+                # covered pixel (see _raycast_box).  The per-object hit
+                # mask is computed pre-occlusion (amodal), matching the
+                # bbox semantics of the former scatter render.
+                hit, t0, nocs = _raycast_box(d_cam, campose, ob)
+                closer = hit & (t0 < zbuf)
+                zbuf[closer] = t0[closer]
+                depth[closer] = t0[closer]
+                nocs16[closer] = (nocs[closer] * 65535).astype(np.uint16)
+                rgb[closer] = (50 + ob["cat"] * 25) % 255
 
-                if ok.sum() < 20:
+                if hit.sum() < 20:
                     continue
-                x0, y0 = ui[ok].min(), vi[ok].min()
-                x1, y1 = ui[ok].max() + 1, vi[ok].max() + 1
+                ys, xs = np.nonzero(hit)
+                x0, y0 = int(xs.min()), int(ys.min())
+                x1, y1 = int(xs.max()) + 1, int(ys.max()) + 1
                 seg = [[float(x0), float(y0), float(x1), float(y0),
                         float(x1), float(y1), float(x0), float(y1)]]
+                cy, sy = np.cos(ob["yaw"]), np.sin(ob["yaw"])
+                R = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]])
                 corners_local = np.array(
                     [[sx, sy_, sz] for sx in (-1, 1) for sy_ in (-1, 1)
                      for sz in (-1, 1)], np.float64) * (ob["scale"] * ob["half"])

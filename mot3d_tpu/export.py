@@ -111,8 +111,9 @@ class DetectorExporter:
             frame.translations, jnp.asarray(sample.boxes),
             jnp.asarray(sample.valid), jnp.asarray(sample.voxels),
             jnp.asarray(sample.rotations), jnp.asarray(sample.locations))
-        frame, cropped, det_classes, viou, rot_e, loc_e = jax.device_get(
-            (frame, cropped, dets.classes[0], viou, rot_e, loc_e))
+        frame, cropped, det_classes, viou, rot_e, loc_e, v0, s0 = \
+            jax.device_get((frame, cropped, dets.classes[0], viou, rot_e,
+                            loc_e, dets.valid[0], dets.scores[0]))
 
         keep = np.asarray(frame.valid)
         n = int(keep.sum())
@@ -124,8 +125,8 @@ class DetectorExporter:
         # MOTFront's <=12 objects/frame the cap should never bind, but if
         # every slot is valid AND above the objectness gate, real
         # detections may have been crowded out — surface it instead of
-        # silently truncating (VERDICT r3 weak #8 minor).
-        v0, s0 = jax.device_get((dets.valid[0], dets.scores[0]))
+        # silently truncating (VERDICT r3 weak #8 minor).  valid/scores
+        # ride the single device_get above — no extra tunnel round trip.
         if bool(np.all(v0)) and float(np.min(s0)) > (
                 self.cfg.combined.objectness_thres):
             if not self._cap_warned:

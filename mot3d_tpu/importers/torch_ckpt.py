@@ -33,10 +33,11 @@ Layout conversions (verified numerically in tests/test_torch_import.py):
   - BatchNorm/FrozenBN (gamma, beta, mean, var) -> affine
     scale = gamma/sqrt(var+eps), bias = beta - mean*scale.
 
-Known deviation (documented, not silent): our anchor grid centres sit at
-(i + 0.5) * stride while detectron2's default offset is 0.0 — imported RPN
-deltas decode against half-a-cell-shifted anchors, which the box head's
-refinement absorbs in practice.
+Anchor grid: our from-scratch default centres anchors at (i + 0.5) *
+stride; detectron2's DefaultAnchorGenerator uses offset 0.0, so imported
+configs set cfg.anchor_offset=0.0 (`import_config` below / the
+import-torch-ckpt CLI) and imported RPN deltas decode against exactly the
+anchors they were trained with.
 """
 
 from __future__ import annotations
@@ -264,6 +265,18 @@ def _import_nocs_head(c: _Consumer, cfg: DetectionConfig) -> Dict[str, Any]:
     return out
 
 
+def import_config(cfg: DetectionConfig) -> DetectionConfig:
+    """The DetectionConfig variant a detectron2 checkpoint was trained
+    under: frozen-affine norms, torch view() voxel reshape, detectron2's
+    anchor offset 0.0 (DefaultAnchorGenerator) so imported RPN deltas
+    decode against exactly the anchors they saw in torch, and caffe-style
+    stride placement (RESNETS.STRIDE_IN_1X1) so the imported backbone
+    computes exactly detectron2's function."""
+    import dataclasses
+    return dataclasses.replace(cfg, norm="affine", voxel_torch_reshape=True,
+                               anchor_offset=0.0, stride_in_1x1=True)
+
+
 def import_detectron2_maskrcnn(state_dict: Mapping[str, Any],
                                cfg: DetectionConfig,
                                init_params: Mapping[str, Any] | None = None,
@@ -283,6 +296,12 @@ def import_detectron2_maskrcnn(state_dict: Mapping[str, Any],
         raise ValueError(
             "import requires cfg.norm='affine' and "
             "cfg.voxel_torch_reshape=True (torch-parity model structure)")
+    if not cfg.stride_in_1x1 or cfg.anchor_offset != 0.0:
+        raise ValueError(
+            "import requires cfg.stride_in_1x1=True and "
+            "cfg.anchor_offset=0.0 (use importers.torch_ckpt.import_config):"
+            " detectron2 weights compute a different function under the "
+            "torchvision stride placement / 0.5 anchor offset")
     if (cfg.backbone_width != 1.0 or cfg.head_width_mult != 1.0
             or cfg.fpn_channels != 256):
         raise ValueError("import only supports full reference widths")
@@ -329,9 +348,12 @@ def import_detectron2_maskrcnn(state_dict: Mapping[str, Any],
     if strict:
         extra = c.leftover()
         # detectron2 checkpoints carry anchor buffers / pixel stats we
-        # intentionally don't consume.
+        # intentionally don't consume.  Anchor buffers serialize under
+        # 'proposal_generator.anchor_generator.cell_anchors.*' in older
+        # detectron2 versions — match '.anchor_generator.' anywhere.
         extra = [k for k in extra
-                 if not k.startswith(("pixel_", "anchor_generator."))]
+                 if not (k.startswith("pixel_")
+                         or "anchor_generator." in k)]
         if extra:
             raise KeyError(f"unconsumed checkpoint keys: {extra[:8]}"
                            f"{' ...' if len(extra) > 8 else ''}")

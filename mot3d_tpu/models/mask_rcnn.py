@@ -138,7 +138,8 @@ class MaskRCNN(nn.Module):
         import jax.numpy as _jnp
         bb_dtype = (_jnp.bfloat16 if c.compute_dtype == "bfloat16" else None)
         self.backbone = ResNetFPN(c.backbone_depth, c.fpn_channels,
-                                  c.backbone_width, bb_dtype, c.norm)
+                                  c.backbone_width, bb_dtype, c.norm,
+                                  c.stride_in_1x1)
         self.rpn_head = RPNHead(len(c.anchor_ratios), bb_dtype)
         self.box_head = BoxHead(c.num_classes, c.box_head_width, bb_dtype)
         self.mask_head = MaskHead(c.num_classes, c.mask_head_width, bb_dtype)
@@ -162,7 +163,7 @@ class MaskRCNN(nn.Module):
         c = self.cfg
         return jnp.asarray(generate_anchors(
             c.pad_height, c.pad_width, tuple(c.anchor_sizes),
-            tuple(c.anchor_ratios), RPN_STRIDES))
+            tuple(c.anchor_ratios), RPN_STRIDES, c.anchor_offset))
 
     def _slices(self):
         c = self.cfg
@@ -246,6 +247,13 @@ class MaskRCNN(nn.Module):
         # < fg_head_buffer (128), so the selected set of positives — and
         # with it every loss value — is unchanged; only dead always-masked
         # background rows are dropped.
+        n_pos_cap = int(c.roi_batch_per_image * c.roi_positive_fraction)
+        if c.fg_head_buffer < n_pos_cap:
+            raise ValueError(
+                f"fg_head_buffer ({c.fg_head_buffer}) must cover the "
+                f"sampler's positive cap roi_batch_per_image * "
+                f"roi_positive_fraction = {n_pos_cap}; a smaller buffer "
+                f"silently drops positives from the mask/voxel/NOCS losses")
         k_im = min(rr, c.fg_head_buffer)
         fg_rank_im = jnp.argsort(samples.is_pos <= 0, axis=1)[:, :k_im]
         fg_boxes_im = jnp.take_along_axis(

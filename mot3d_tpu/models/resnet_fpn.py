@@ -25,10 +25,20 @@ class Bottleneck(nn.Module):
     stride: int = 1
     dtype: object = None    # computation dtype (params stay f32)
     norm: str = "gn"        # "gn" or "affine" (imported FrozenBN)
+    # detectron2's caffe-style R50 zoo weights put the stage stride on the
+    # 1x1 conv (RESNETS.STRIDE_IN_1X1=True, the mask_rcnn_R_50_FPN_3x
+    # default the reference trains from, `Detection/cfg_setup.py:21`);
+    # torchvision-style (our from-scratch default) strides the 3x3.  Same
+    # weights compute DIFFERENT functions under the two placements, so
+    # imported checkpoints must set this True (importers/torch_ckpt.
+    # import_config) — pinned by the torch-mimic parity test.
+    stride_in_1x1: bool = False
 
     @nn.compact
     def __call__(self, x):
         out_ch = self.channels * 4
+        s1 = self.stride if self.stride_in_1x1 else 1
+        s3 = 1 if self.stride_in_1x1 else self.stride
         shortcut = x
         if self.stride != 1 or x.shape[-1] != out_ch:
             shortcut = nn.Conv(out_ch, (1, 1), strides=self.stride,
@@ -36,10 +46,10 @@ class Bottleneck(nn.Module):
                                name="proj")(x)
             shortcut = make_norm(self.norm, 32, self.dtype,
                                  name="proj_gn")(shortcut)
-        y = nn.Conv(self.channels, (1, 1), use_bias=False,
+        y = nn.Conv(self.channels, (1, 1), strides=s1, use_bias=False,
                     dtype=self.dtype)(x)
         y = jax.nn.relu(make_norm(self.norm, 32, self.dtype)(y))
-        y = nn.Conv(self.channels, (3, 3), strides=self.stride,
+        y = nn.Conv(self.channels, (3, 3), strides=s3,
                     padding=1, use_bias=False, dtype=self.dtype)(y)
         y = jax.nn.relu(make_norm(self.norm, 32, self.dtype)(y))
         y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype)(y)
@@ -52,6 +62,7 @@ class ResNet(nn.Module):
     width_mult: float = 1.0   # channel multiplier (tiny test configs)
     dtype: object = None
     norm: str = "gn"
+    stride_in_1x1: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -69,6 +80,7 @@ class ResNet(nn.Module):
                 stride = 2 if (b == 0 and stage > 0) else 1
                 x = Bottleneck(w(ch), stride, dtype=self.dtype,
                                norm=self.norm,
+                               stride_in_1x1=self.stride_in_1x1,
                                name=f"res{stage + 2}_{b}")(x)
             feats.append(x)
         return feats  # C2 (stride 4) .. C5 (stride 32)
@@ -102,6 +114,7 @@ class ResNetFPN(nn.Module):
     width_mult: float = 1.0
     dtype: object = None
     norm: str = "gn"
+    stride_in_1x1: bool = False
 
     @nn.compact
     def __call__(self, images):
@@ -110,6 +123,6 @@ class ResNetFPN(nn.Module):
         if self.dtype is not None:
             images = images.astype(self.dtype)
         c_feats = ResNet(self.depth, self.width_mult, self.dtype,
-                         self.norm, name="resnet")(images)
+                         self.norm, self.stride_in_1x1, name="resnet")(images)
         ps = FPN(self.out_channels, self.dtype, name="fpn")(c_feats)
         return [p.astype(jnp.float32) for p in ps]

@@ -29,18 +29,22 @@ _CLAMP = float(np.log(1000.0 / 16))
 @functools.lru_cache(maxsize=4)
 def generate_anchors(pad_h: int, pad_w: int,
                      sizes: tuple, ratios: tuple,
-                     strides: tuple = (4, 8, 16, 32, 64)) -> np.ndarray:
+                     strides: tuple = (4, 8, 16, 32, 64),
+                     offset: float = 0.5) -> np.ndarray:
     """All anchors over the padded image, XYXY, concatenated finest-first.
 
     One size per level (FPN convention), all ratios per location; centres at
-    (i + 0.5) * stride."""
+    (i + offset) * stride.  offset=0.5 centres anchors on pixel cells (our
+    default); detectron2's DefaultAnchorGenerator uses offset=0.0, so
+    checkpoints imported via `import-torch-ckpt` set
+    detection.anchor_offset=0.0 to make imported RPN decoding exact."""
     all_anchors = []
     for size, stride in zip(sizes, strides):
         h, w = pad_h // stride, pad_w // stride
         ws = np.array([size / np.sqrt(r) for r in ratios])
         hs = np.array([size * np.sqrt(r) for r in ratios])
-        cx = (np.arange(w) + 0.5) * stride
-        cy = (np.arange(h) + 0.5) * stride
+        cx = (np.arange(w) + offset) * stride
+        cy = (np.arange(h) + offset) * stride
         cxg, cyg = np.meshgrid(cx, cy)
         # (h, w, A, 4)
         boxes = np.stack([

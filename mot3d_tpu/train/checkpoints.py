@@ -36,9 +36,13 @@ class CheckpointManager:
                 self.best = json.load(f)
 
     # ------------------------------------------------------------------
-    def save(self, step: int, state: Any) -> None:
-        self._mgr.save(step, args=ocp.args.StandardSave(state))
+    def save(self, step: int, state: Any) -> bool:
+        """Returns orbax's accept bool: False means the save was SKIPPED
+        (e.g. the step already exists) — callers that must not lose the
+        state (the import CLI) assert on it."""
+        saved = self._mgr.save(step, args=ocp.args.StandardSave(state))
         self._mgr.wait_until_finished()
+        return bool(saved)
 
     def restore(self, state_template: Any, step: Optional[int] = None) -> Any:
         step = step if step is not None else self._mgr.latest_step()

@@ -8,11 +8,13 @@ forward.  This pins every layout rule (conv/convT/linear permutations,
 channel-major flatten, BN folding, torch view() reshape semantics) against
 the real thing — the judge-specified test protocol (VERDICT r3 missing #1).
 
-The full-detector import (detectron2-format Mask R-CNN) cannot be parity-
-tested end to end here (detectron2 is not installed), so it is validated
-structurally: a synthetic detectron2-shaped state_dict converts into a tree
-that exactly matches MaskRCNN's own init (names + shapes via eval_shape),
-and the primitive conversions are numerics-tested against torch directly.
+The full-detector import (detectron2-format Mask R-CNN) is additionally
+validated structurally here (a synthetic detectron2-shaped state_dict
+converts into a tree that exactly matches MaskRCNN's own init, names +
+shapes via eval_shape) and NUMERICALLY in
+tests/test_torch_export_roundtrip.py, which runs the imported
+backbone/FPN/RPN/box/mask forwards against a minimal-torch mimic of
+detectron2 semantics and pins the export->import roundtrip bit-exact.
 """
 
 import sys
@@ -31,7 +33,7 @@ sys.path.insert(0, "/root/repo")
 from mot3d_tpu.config import DetectionConfig, GraphConfig  # noqa: E402
 from mot3d_tpu.importers.torch_ckpt import (  # noqa: E402
     _Consumer, _import_nocs_head, _import_voxel_head, bn_affine, conv_kernel,
-    conv_transpose_kernel, import_detectron2_maskrcnn,
+    conv_transpose_kernel, import_config, import_detectron2_maskrcnn,
     import_tracking_modules, linear_after_flatten_kernel)
 
 
@@ -398,7 +400,7 @@ def test_detector_import_tree_matches_model_init():
     """The converted tree must EXACTLY match MaskRCNN's own parameter tree
     (names and shapes) — verified with eval_shape, no detector compile."""
     from mot3d_tpu.models.mask_rcnn import MaskRCNN
-    cfg = DetectionConfig(norm="affine", voxel_torch_reshape=True)
+    cfg = import_config(DetectionConfig())
     sd = _synthetic_d2_state_dict(cfg)
     variables = import_detectron2_maskrcnn(sd, cfg)
 
@@ -466,7 +468,7 @@ def test_detector_import_partial_coco_zoo():
     init_params keeps their fresh init (pretrained-backbone start,
     `Detection/cfg_setup.py:21`)."""
     from mot3d_tpu.models.mask_rcnn import MaskRCNN
-    cfg = DetectionConfig(norm="affine", voxel_torch_reshape=True)
+    cfg = import_config(DetectionConfig())
     sd = {k: v for k, v in _synthetic_d2_state_dict(cfg).items()
           if not k.startswith(("roi_heads.voxel_head",
                                "roi_heads.nocs_head"))}
