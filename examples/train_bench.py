@@ -113,9 +113,15 @@ def main():
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        # scalar data dependency through the updated params AND the loss
-        leaf = jax.tree_util.tree_leaves(params)[0]
-        return loss + jnp.sum(leaf.astype(jnp.float32).ravel()[:8])
+        # Scalar data dependency through EVERY leaf of the updated params:
+        # depending on one leaf only lets XLA dead-code-eliminate the
+        # dW = cotangent x activation products of every other layer (their
+        # updates are unused), which under-counted the step at 1.25 TFLOP
+        # vs the true 1.87 and inverted the fwd/bwd split (VERDICT r4
+        # weak #5).
+        return loss + jax.tree_util.tree_reduce(
+            lambda a, x: a + x.ravel()[0].astype(jnp.float32), params, 0.0
+        ) * 0
 
     det_jit = jax.jit(det_step)
     a = (det_params, opt_state, images[0], gts[0], jax.random.PRNGKey(2))
@@ -131,8 +137,10 @@ def main():
 
     def det_fwd_bwd(params, images, gt, rng):
         loss, grads = jax.value_and_grad(det_fwd)(params, images, gt, rng)
-        leaf = jax.tree_util.tree_leaves(grads)[0]
-        return loss + jnp.sum(leaf.astype(jnp.float32).ravel()[:8])
+        # Depend on every grad leaf — see det_step's DCE note.
+        return loss + jax.tree_util.tree_reduce(
+            lambda a, x: a + x.ravel()[0].astype(jnp.float32), grads, 0.0
+        ) * 0
 
     _, fwd_ms = timed_step("  det forward only (bs=2)", jax.jit(det_fwd),
                            a[:1] + a[2:], b[:1] + b[2:], reps)

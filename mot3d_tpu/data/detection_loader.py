@@ -100,6 +100,18 @@ def stack_samples(samples: List[DetectionSample]) -> DetectionSample:
                              for f in DetectionSample._fields])
 
 
+def compact_sample(s: DetectionSample) -> DetectionSample:
+    """Narrow the heavy fields for the host->device hop: uint8 image, bool
+    masks/voxels.  A full-res f32 batch is ~14 MB vs ~3 MB compact, and the
+    axon tunnel's H2D bandwidth made the f32 form the training loop's
+    bottleneck (round-5 steady-state study: ~360 ms/step loop vs 53 ms
+    device step).  The jit step widens back to f32 on device
+    (DetectionTrainer._make_step / parallel/train_step.py)."""
+    return s._replace(image=s.image.astype(np.uint8),
+                      masks=s.masks.astype(bool),
+                      voxels=s.voxels.astype(bool))
+
+
 def iterate_detection_batches(ds: MOTFrontDataset, cfg: DetectionConfig,
                               batch_size: int, shuffle: bool = True,
                               seed: int = 0, epochs: int = 1,

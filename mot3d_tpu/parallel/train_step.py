@@ -210,7 +210,17 @@ def make_combined_train_step(det_model: MaskRCNN, trk_model: TrackerModel,
                     if k.startswith("loss"))
         return total + tl, (total, tl, det_losses)
 
+    def widen(batch: CombinedBatch) -> CombinedBatch:
+        """Batches may arrive compact (uint8 images, bool masks/voxels —
+        ~4x fewer H2D bytes over the tunnel, see
+        detection_loader.compact_sample); widen to f32 on device."""
+        return batch._replace(
+            images=batch.images.astype(jnp.float32),
+            gt_masks=batch.gt_masks.astype(jnp.float32),
+            gt_voxels=batch.gt_voxels.astype(jnp.float32))
+
     def joint_step(state: CombinedTrainState, batch: CombinedBatch, rng):
+        batch = widen(batch)
         b = batch.images.shape[0]
         rngs = jax.random.split(rng, b)
 
@@ -262,6 +272,7 @@ def make_combined_train_step(det_model: MaskRCNN, trk_model: TrackerModel,
                                    trk_opt_state, state.step + 1), metrics)
 
     def step(state: CombinedTrainState, batch: CombinedBatch, rng):
+        batch = widen(batch)
         b = batch.images.shape[0]
         rngs = jax.random.split(rng, b)
 

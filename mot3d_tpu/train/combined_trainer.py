@@ -41,13 +41,20 @@ from mot3d_tpu.train.metrics_writer import MetricsWriter
 
 
 def samples_to_combined_window(frames: List[DetectionSample]) -> CombinedBatch:
-    """Stack T per-frame DetectionSamples into one window (no batch dim)."""
-    f = lambda k: jnp.asarray(np.stack([getattr(s, k) for s in frames]))
+    """Stack T per-frame DetectionSamples into one window (no batch dim).
+
+    The heavy fields travel compact (uint8 image, bool masks/voxels — all
+    exactly-representable values), ~4x fewer H2D bytes over the tunnel;
+    the jit step widens on device (train_step.widen) and the model's
+    pixel-mean normalisation promotes uint8 images itself."""
+    f = lambda k, dt=None: jnp.asarray(
+        np.stack([getattr(s, k) for s in frames]).astype(dt)
+        if dt else np.stack([getattr(s, k) for s in frames]))
     return CombinedBatch(
-        images=f("image"), depth=f("depth"), campose=f("campose"),
+        images=f("image", np.uint8), depth=f("depth"), campose=f("campose"),
         gt_boxes2d=f("boxes"), gt_classes=f("classes"), gt_valid=f("valid"),
-        gt_masks=f("masks"), gt_voxels=f("voxels"), gt_nocs=f("nocs"),
-        gt_boxes3d=f("boxes3d"), gt_ids=f("object_ids"))
+        gt_masks=f("masks", bool), gt_voxels=f("voxels", bool),
+        gt_nocs=f("nocs"), gt_boxes3d=f("boxes3d"), gt_ids=f("object_ids"))
 
 
 class CombinedTrainer:
@@ -81,17 +88,25 @@ class CombinedTrainer:
         self._step_fn = None
 
     # ------------------------------------------------------------------
-    def init_state(self, window: CombinedBatch) -> CombinedTrainState:
+    def init_state(self, window: CombinedBatch,
+                   det_params=None) -> CombinedTrainState:
+        """`det_params`: optional pretrained detector parameters — the
+        reference's combined training starts from a TRAINED detector
+        (`cfg.MODEL.WEIGHTS = .../best_model.pth`,
+        `Detection/cfg_setup.py:137`), not from random init."""
         cfg = self.cfg
         from mot3d_tpu.models.mask_rcnn import GroundTruth
         gt0 = GroundTruth(boxes=window.gt_boxes2d, classes=window.gt_classes,
-                          valid=window.gt_valid, masks=window.gt_masks,
-                          voxels=window.gt_voxels, nocs=window.gt_nocs)
-        det_params = jax.jit(lambda k1, k2: self.det_model.init(
-            {"params": k1}, window.images, gt0, k2,
-            method=MaskRCNN.train_losses))(
-                jax.random.PRNGKey(cfg.run.seed),
-                jax.random.PRNGKey(cfg.run.seed + 1))
+                          valid=window.gt_valid,
+                          masks=window.gt_masks.astype(jnp.float32),
+                          voxels=window.gt_voxels.astype(jnp.float32),
+                          nocs=window.gt_nocs)
+        if det_params is None:
+            det_params = jax.jit(lambda k1, k2: self.det_model.init(
+                {"params": k1}, window.images.astype(jnp.float32), gt0, k2,
+                method=MaskRCNN.train_losses))(
+                    jax.random.PRNGKey(cfg.run.seed),
+                    jax.random.PRNGKey(cfg.run.seed + 1))
         t = cfg.tracking
         d = cfg.detection
         n_nodes = cfg.combined.batch_size * d.detections_per_image
@@ -111,25 +126,33 @@ class CombinedTrainer:
     def train(self, windows: Iterator[List[DetectionSample]],
               max_iter: Optional[int] = None,
               test_seqs: Optional[List[List[DetectionSample]]] = None,
-              resume: bool = False) -> Dict[str, float]:
+              resume: bool = False, det_init_params=None) -> Dict[str, float]:
         """windows: iterator of T-frame windows (T = combined.batch_size,
         consecutive frames of one sequence, as the reference's non-shuffled
         2-frame batches, `train_combined.py:88,481`).  `resume` reloads the
         latest full train state — both params, both optimizer states, step
-        (`Detection/train_combined.py:444-455` resume_or_load)."""
+        (`Detection/train_combined.py:444-455` resume_or_load).
+        `det_init_params` warm-starts the detector from a pretrained state
+        (the reference protocol, see init_state)."""
         cfg = self.cfg.combined
         max_iter = max_iter or cfg.max_iter
         rng = jax.random.PRNGKey(self.cfg.run.seed + 3)
         metrics: Dict[str, float] = {}
+        # Host-side step mirror: a per-iteration int(self.state.step) blocks
+        # on the step's completion + a device round trip (round-5
+        # steady-state study) — read once, then count locally.
+        step = None
         for frames in windows:
             window = samples_to_combined_window(frames)
             batch = jax.tree_util.tree_map(lambda x: x[None], window)
             if self.state is None:
-                self.init_state(window)
+                self.init_state(window, det_params=det_init_params)
                 if resume:
                     from mot3d_tpu.train.checkpoints import resume_trainer
                     resume_trainer(self)
-            if int(self.state.step) >= max_iter:
+            if step is None:
+                step = int(self.state.step)
+            if step >= max_iter:
                 break
             if self._step_fn is None:
                 self._step_fn = jax.jit(make_combined_train_step(
@@ -139,7 +162,7 @@ class CombinedTrainer:
                     accum_windows=self.cfg.combined.accum_windows))
             rng, sub = jax.random.split(rng)
             self.state, metrics = self._step_fn(self.state, batch, sub)
-            step = int(self.state.step)
+            step += 1
             self.writer.write(step, metrics)
             if test_seqs is not None and step % cfg.eval_period == 0:
                 mota = self.do_test(test_seqs)
@@ -148,6 +171,7 @@ class CombinedTrainer:
                     print(f"new best MOTA {mota['mota']:.4f} at step {step}")
             if step % cfg.checkpoint_period == 0:
                 self.ckpt.save(step, self.state)
+        self.writer.flush()
         return {k: float(v) for k, v in metrics.items()}
 
     # ------------------------------------------------------------------

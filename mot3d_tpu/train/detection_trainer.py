@@ -58,14 +58,20 @@ class DetectionTrainer:
         self._step_fn = None
         self._loss_fn = None
 
-    def init_state(self, batch: DetectionSample) -> DetectionTrainState:
-        images = jnp.asarray(batch.image)
-        gt = sample_to_gt(batch)
-        params = jax.jit(lambda k1, k2: self.model.init(
-            {"params": k1}, images, gt, k2,
-            method=MaskRCNN.train_losses))(
-                jax.random.PRNGKey(self.cfg.run.seed),
-                jax.random.PRNGKey(self.cfg.run.seed + 1))
+    def init_state(self, batch: DetectionSample,
+                   params=None) -> DetectionTrainState:
+        """`params`: optional pretrained variables (e.g. an
+        import_detectron2_maskrcnn partial import) — the reference trains
+        from COCO model-zoo weights, not from scratch
+        (`Detection/cfg_setup.py:21`)."""
+        if params is None:
+            images = jnp.asarray(batch.image)
+            gt = sample_to_gt(batch)
+            params = jax.jit(lambda k1, k2: self.model.init(
+                {"params": k1}, images, gt, k2,
+                method=MaskRCNN.train_losses))(
+                    jax.random.PRNGKey(self.cfg.run.seed),
+                    jax.random.PRNGKey(self.cfg.run.seed + 1))
         self.state = DetectionTrainState(params, self.optimizer.init(params),
                                          jnp.zeros((), jnp.int32))
         return self.state
@@ -74,6 +80,13 @@ class DetectionTrainer:
         model, opt = self.model, self.optimizer
 
         def step(state: DetectionTrainState, images, gt: GroundTruth, rng):
+            # Batches arrive compact (uint8/bool, see compact_sample);
+            # widen to f32 on device — the cast is free next to the H2D
+            # bytes it saves over the tunnel.
+            images = images.astype(jnp.float32)
+            gt = gt._replace(masks=gt.masks.astype(jnp.float32),
+                             voxels=gt.voxels.astype(jnp.float32))
+
             def loss_fn(p):
                 losses = model.apply(p, images, gt, rng,
                                      method=MaskRCNN.train_losses)
@@ -95,8 +108,8 @@ class DetectionTrainer:
     # ------------------------------------------------------------------
     def train(self, batches: Iterator[DetectionSample],
               val_batches=None, max_iter: Optional[int] = None,
-              full_eval: bool = True, resume: bool = False
-              ) -> Dict[str, float]:
+              full_eval: bool = True, resume: bool = False,
+              init_params=None) -> Dict[str, float]:
         """`full_eval` adds the voxnocs + COCO-AP evaluators to the periodic
         eval, as the reference's do_test does (`train_net.py:66-90`).
         `resume` reloads the latest full train state (params + optimizer +
@@ -108,15 +121,23 @@ class DetectionTrainer:
         rng = jax.random.PRNGKey(self.cfg.run.seed + 2)
         metrics: Dict[str, float] = {}
         # Device-side prefetch: the H2D copy of batch N+1 overlaps the
-        # compute of batch N (data/prefetch.py).
+        # compute of batch N (data/prefetch.py).  Batches travel compact
+        # (uint8 images, bool masks/voxels: ~4x fewer bytes over the
+        # tunnel) and are widened on device inside the jit step.
+        from mot3d_tpu.data.detection_loader import compact_sample
         from mot3d_tpu.data.prefetch import device_prefetch
-        for batch in device_prefetch(batches):
+        step = None  # host-side mirror of state.step: a per-iteration
+        # int(self.state.step) would block on the step's completion and
+        # pay a device round trip, serialising the dispatch pipeline.
+        for batch in device_prefetch(map(compact_sample, batches)):
             if self.state is None:
-                self.init_state(batch)
+                self.init_state(batch, params=init_params)
                 if resume:
                     from mot3d_tpu.train.checkpoints import resume_trainer
                     resume_trainer(self)
-            if int(self.state.step) >= max_iter:
+            if step is None:
+                step = int(self.state.step)
+            if step >= max_iter:
                 break
             if self._step_fn is None:
                 self._step_fn = self._make_step()
@@ -124,7 +145,7 @@ class DetectionTrainer:
             self.state, metrics = self._step_fn(
                 self.state, jnp.asarray(batch.image), sample_to_gt(batch),
                 sub)
-            step = int(self.state.step)
+            step += 1
             self.writer.write(step, metrics)
             if val_batches is not None and step % cfg.eval_period == 0:
                 val = self.evaluate(val_batches, voxnocs=full_eval,
@@ -139,6 +160,7 @@ class DetectionTrainer:
                                       self.state, higher_is_better=False)
             if step % cfg.checkpoint_period == 0:
                 self.ckpt.save(step, self.state)
+        self.writer.flush()
         return {k: float(v) for k, v in metrics.items()}
 
     # ------------------------------------------------------------------
