@@ -50,6 +50,11 @@ def _parse(argv: List[str]):
     tc.add_argument("--eval-only", action="store_true")
     tc.add_argument("--resume", action="store_true",
                     help="continue from the latest checkpoint in --out")
+    tc.add_argument("--det-ckpt", default=None,
+                    help="detection checkpoint dir to warm-start the "
+                         "detector from (the reference protocol: combined "
+                         "training starts from the trained best_model.pth, "
+                         "Detection/cfg_setup.py:137)")
 
     ex = sub.add_parser("export-detections", **common)
     ex.add_argument("--data", required=True)
@@ -338,14 +343,19 @@ def main(argv=None):
         test_seqs = [[load_frame(test_ds, fr, cfg.detection)
                       for fr in test_ds.load_scene(s).frames]
                      for s in test_ds.scenes()[:8]]
+        det_init = None
+        if args.det_ckpt:
+            _, det_init = _init_detector(cfg, args.det_ckpt)
         if args.eval_only:
             from mot3d_tpu.train.combined_trainer import (
                 samples_to_combined_window)
-            trainer.init_state(samples_to_combined_window(next(windows())))
+            trainer.init_state(samples_to_combined_window(next(windows())),
+                               det_params=det_init)
             print(trainer.do_test(test_seqs))
         else:
             print(trainer.train(windows(), max_iter=args.max_iter,
-                                test_seqs=test_seqs, resume=args.resume))
+                                test_seqs=test_seqs, resume=args.resume,
+                                det_init_params=det_init))
 
     elif args.cmd == "export-detections":
         from mot3d_tpu.data.motfront import MOTFrontDataset

@@ -180,7 +180,21 @@ def write_motfront_fixture(root: str, split: str = "train", num_scenes: int = 1,
                 zbuf[closer] = t0[closer]
                 depth[closer] = t0[closer]
                 nocs16[closer] = (nocs[closer] * 65535).astype(np.uint16)
-                rgb[closer] = (50 + ob["cat"] * 25) % 255
+                # RGB = class tint + NOCS-correlated texture.  A flat
+                # per-object colour leaves the NOCS head no per-pixel cue
+                # of the face layout / yaw (the round-5 study measured
+                # loss_nocs pinned at 3x the cross-frame consistency floor
+                # — the head could only regress the crop mean); real
+                # MOTFront frames are textured renders where appearance
+                # does encode surface geometry, so the fixture texture
+                # must too for learned-NOCS pose to be attainable.
+                cat = ob["cat"]
+                tint = np.array([(50 + cat * 37) % 200 + 30,
+                                 (80 + cat * 59) % 200 + 30,
+                                 (110 + cat * 83) % 200 + 30], np.float64)
+                rgb[closer] = np.clip(
+                    0.35 * tint + 0.65 * 255.0 * nocs[closer],
+                    0, 255).astype(np.uint8)
 
                 if hit.sum() < 20:
                     continue

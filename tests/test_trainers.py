@@ -173,3 +173,42 @@ class TestCombinedTrainer:
         seq = [frame(i) for i in range(cfg.tracking.seq_len)]
         res = trainer.do_test([seq], classwise=False)
         assert "mota" in res and np.isfinite(res["mota"])
+
+    def test_detector_warm_start(self, tmp_path):
+        """init_state(det_params=...) adopts the given pretrained detector
+        verbatim — the reference's combined training starts from the trained
+        best_model.pth (`Detection/cfg_setup.py:137`), not random init."""
+        from mot3d_tpu.models.mask_rcnn import MaskRCNN
+        from mot3d_tpu.train.combined_trainer import (CombinedTrainer,
+                                                      samples_to_combined_window)
+        cfg = tiny_cfg()
+        cfg = cfg.replace(combined=dataclasses.replace(
+            cfg.combined, batch_size=2))
+        trainer = CombinedTrainer(cfg, output_dir=str(tmp_path))
+        rng = np.random.default_rng(0)
+
+        def frame(seed):
+            sc = synthetic_detection_scene(cfg.detection, batch=1,
+                                           num_objects=2, seed=seed)
+            M = cfg.detection.max_instances
+            return DetectionSample(
+                image=sc.images[0],
+                depth=rng.uniform(1, 3, (64, 64)).astype(np.float32),
+                campose=np.eye(4, dtype=np.float32),
+                boxes=sc.boxes[0], classes=sc.classes[0], valid=sc.valid[0],
+                masks=sc.masks[0], voxels=sc.voxels[0], nocs=sc.nocs[0],
+                boxes3d=rng.normal(size=(M, 8, 3)).astype(np.float32),
+                object_ids=np.arange(M, dtype=np.int32),
+                locations=rng.normal(size=(M, 3)).astype(np.float32),
+                rotations=np.zeros((M, 3), np.float32),
+                scales3d=np.ones((M,), np.float32))
+
+        model = MaskRCNN(cfg.detection)
+        pre = jax.jit(lambda k: model.init(
+            k, jnp.zeros((1, 64, 64, 3)), method=MaskRCNN.predict))(
+                jax.random.PRNGKey(1234))
+        window = samples_to_combined_window([frame(1), frame(2)])
+        state = trainer.init_state(window, det_params=pre)
+        same = jax.tree_util.tree_all(jax.tree_util.tree_map(
+            lambda a, b: jnp.array_equal(a, b), state.det_params, pre))
+        assert same
