@@ -66,29 +66,67 @@ def make_data():
         log("[data] exists, skipping")
         return
     t0 = time.time()
+    # MOTFront-realistic furniture sizes (~100-180 px): best-anchor IoU
+    # must clear the ROI sampler's 0.75 threshold often enough to feed the
+    # box head positives from a from-scratch RPN (see fixtures.py note).
+    big = dict(half_range=(0.35, 0.6), camera_dist=2.6, area=1.3)
     write_motfront_fixture(DATA, "train", num_scenes=TRAIN_SCENES,
-                           num_frames=FRAMES, num_objects=OBJECTS, seed=0)
+                           num_frames=FRAMES, num_objects=OBJECTS, seed=0,
+                           **big)
     write_motfront_fixture(DATA, "test", num_scenes=TEST_SCENES,
-                           num_frames=FRAMES, num_objects=OBJECTS, seed=500)
+                           num_frames=FRAMES, num_objects=OBJECTS, seed=500,
+                           **big)
     log(f"[data] {TRAIN_SCENES}+{TEST_SCENES} scenes x {FRAMES} frames "
         f"in {time.time() - t0:.0f}s")
 
 
+ZOO_ITERS = int(os.environ.get("QC_ZOO_ITERS", "12000"))
+
+
 def det_pretrain(cfg):
+    """Two-stage detector training mirroring the reference's real recipe.
+
+    The reference NEVER trains its 0.75-ROI-threshold config from
+    scratch: it starts from COCO model-zoo weights
+    (`Detection/cfg_setup.py:21`) that were themselves trained with
+    detectron2's DEFAULT 0.5 threshold.  From scratch, 0.75 starves the
+    box head (measured: 4 positives / 512 sampled ROIs -> the head
+    collapses to background and predict() emits nothing).  So: stage A
+    trains the zoo recipe (threshold 0.5, rich positives, calibrated
+    scores, sharp RPN); stage B fine-tunes the reference's exact config
+    (0.75) warm-started from stage A — the same structure as
+    zoo-pretrain -> MOTFront fine-tune."""
     from mot3d_tpu.data.detection_loader import iterate_detection_batches
     from mot3d_tpu.data.motfront import MOTFrontDataset
     from mot3d_tpu.train.detection_trainer import DetectionTrainer
 
     ds = MOTFrontDataset(DATA, "train",
                          voxel_dir=os.path.join(DATA, "voxels"))
-    trainer = DetectionTrainer(cfg, output_dir=os.path.join(OUT, "det"))
     n_frames = sum(len(ds.load_scene(s).frames) for s in ds.scenes())
-    batches = iterate_detection_batches(
-        ds, cfg.detection, cfg.combined.batch_size, epochs=10 ** 6,
-        cache_samples=n_frames, seed=1)
+
+    def batches(c):
+        return iterate_detection_batches(
+            ds, c.detection, c.combined.batch_size, epochs=10 ** 6,
+            cache_samples=n_frames, seed=1)
+
+    zoo_cfg = cfg.replace(detection=dataclasses.replace(
+        cfg.detection, roi_iou_threshold=0.5))
+    zoo = DetectionTrainer(zoo_cfg, output_dir=os.path.join(OUT, "det_zoo"))
     t0 = time.time()
-    log(f"[det] training {DET_ITERS} iters on {n_frames} frames ...")
-    final = trainer.train(batches, None, max_iter=DET_ITERS, resume=True)
+    log(f"[det:zoo] stage A (thr 0.5): {ZOO_ITERS} iters on "
+        f"{n_frames} frames ...")
+    final = zoo.train(batches(zoo_cfg), None, max_iter=ZOO_ITERS,
+                      resume=True)
+    zoo.ckpt.save(int(zoo.state.step), zoo.state)
+    log(f"[det:zoo] done in {time.time() - t0:.0f}s: "
+        + " ".join(f"{k}={v:.4f}" for k, v in sorted(final.items())))
+
+    trainer = DetectionTrainer(cfg, output_dir=os.path.join(OUT, "det"))
+    t0 = time.time()
+    log(f"[det] stage B (reference cfg, thr "
+        f"{cfg.detection.roi_iou_threshold}): {DET_ITERS} iters ...")
+    final = trainer.train(batches(cfg), None, max_iter=DET_ITERS,
+                          resume=True, init_params=zoo.state.params)
     step = int(trainer.state.step)
     trainer.ckpt.save(step, trainer.state)
     log(f"[det] done at step {step} in {time.time() - t0:.0f}s: "

@@ -90,9 +90,24 @@ def write_motfront_fixture(root: str, split: str = "train", num_scenes: int = 1,
                            seed: int = 0, voxel_root: str | None = None,
                            cam: CameraConfig = CameraConfig(),
                            camera_pan: float = 0.2,
-                           max_yaw: float = np.pi):
+                           max_yaw: float = np.pi,
+                           half_range: tuple = (0.25, 0.45),
+                           scale_range: tuple = (0.8, 1.3),
+                           camera_dist: float = 3.5,
+                           area: float = 1.0):
     """Create tiny MOTFront-format scenes with boxes/cuboids moving in world
-    space; returns the list of scene names."""
+    space; returns the list of scene names.
+
+    half_range/scale_range/camera_dist/area control apparent object size.
+    The defaults render furniture of ~50-90 px sqrt-area — BETWEEN the
+    detector's factor-2 anchor scales, so best-anchor IoU is mostly < 0.7
+    and the reference's IOU_THRESHOLDS=[0.75] ROI sampler sees almost no
+    positives from a from-scratch RPN (round-5 campaign finding: the box
+    head then collapses to background; the reference avoids this via its
+    COCO-pretrained RPN, `Detection/cfg_setup.py:21`).  For
+    protocol-quality training at fixture scale pass larger furniture
+    (e.g. half_range=(0.35, 0.6), camera_dist=2.6), matching real
+    MOTFront's frame-filling beds/sofas."""
     rng = np.random.default_rng(seed)
     voxel_root = voxel_root or os.path.join(root, "voxels")
     os.makedirs(root, exist_ok=True)
@@ -119,8 +134,8 @@ def write_motfront_fixture(root: str, split: str = "train", num_scenes: int = 1,
             grid[6:26, 6:26, 6:26] = True
             os.makedirs(os.path.join(voxel_root, jid), exist_ok=True)
             write_binvox(os.path.join(voxel_root, jid, "model.binvox"), grid)
-            scale = float(rng.uniform(0.8, 1.3))
-            half = rng.uniform(0.25, 0.45, 3)
+            scale = float(rng.uniform(*scale_range))
+            half = rng.uniform(half_range[0], half_range[1], 3)
             # Objects sit on the floor (z = 0): MOTFront's add_halfheight
             # (register_dataset.py:363-377) sets the GT location z to half
             # the box height, which equals the z-centre only then.
@@ -130,7 +145,8 @@ def write_motfront_fixture(root: str, split: str = "train", num_scenes: int = 1,
             # Tracking/utils/train_utils.py:67-81, ambiguous by
             # construction rather than by model error).
             for _ in range(100):
-                loc = np.array([rng.uniform(-1, 1), rng.uniform(-1, 1),
+                loc = np.array([rng.uniform(-area, area),
+                                rng.uniform(-area, area),
                                 half[2] * scale])
                 r = scale * float(np.hypot(half[0], half[1]))
                 if all(np.hypot(*(loc[:2] - o["loc"][:2])) >
@@ -160,7 +176,7 @@ def write_motfront_fixture(root: str, split: str = "train", num_scenes: int = 1,
             campose = np.eye(4, dtype=np.float64)
             campose[:3, :3] = np.array([[1, 0, 0], [0, 0, -1], [0, 1, 0]],
                                        np.float64)
-            campose[:3, 3] = [camera_pan * t, -3.5, 1.2]
+            campose[:3, 3] = [camera_pan * t, -camera_dist, 1.2]
             world2cam = np.linalg.inv(campose)
 
             depth = np.zeros((H, W), np.float32)
