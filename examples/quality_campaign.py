@@ -81,6 +81,11 @@ def make_data():
 
 
 ZOO_ITERS = int(os.environ.get("QC_ZOO_ITERS", "12000"))
+# The reference's SOLVER.BASE_LR=8e-4 is an SGD+momentum rate
+# (detectron2's default optimizer); fed to our AdamW it is 10-100x too
+# hot and produced periodic divergence spikes that left the run at a
+# worse equilibrium than step 2000 (NOTES_ROUND5.md finding 4).
+LR = float(os.environ.get("QC_LR", "2e-4"))
 
 
 def det_pretrain(cfg):
@@ -325,6 +330,8 @@ def main():
     from mot3d_tpu.config import default_config
 
     cfg = default_config()
+    cfg = cfg.replace(combined=dataclasses.replace(
+        cfg.combined, detection_lr=LR))
     summary_path = os.path.join(OUT, "summary.json")
     summary = {}
     if os.path.exists(summary_path):

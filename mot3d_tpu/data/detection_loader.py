@@ -87,7 +87,11 @@ def load_frame(ds: MOTFrontDataset, frame, cfg: DetectionConfig,
         if load_voxels and ds.voxel_dir:
             out.voxels[i] = ds.load_voxel(a.jid, a.scale3d)
         out.nocs[i] = _resize_patch(patch, nocs_patch_size)
-        out.boxes3d[i] = a.box3d
+        # Canonical corner order: box3d_iou reads corners BY INDEX (the
+        # reference sorts GT boxes at crop time, run_crop_3dbbox); raw
+        # dataset corner order breaks every downstream pred-vs-GT 3D IoU.
+        from mot3d_tpu.geometry.transforms import sort_bbox_np
+        out.boxes3d[i] = sort_bbox_np(a.box3d)
         out.object_ids[i] = a.object_id
         out.locations[i] = a.location3d
         out.rotations[i] = a.rotation3d

@@ -182,6 +182,31 @@ def sort_bbox(corners: jax.Array) -> jax.Array:
     return c[jnp.concatenate([z1, z2, z3, z4])]
 
 
+def sort_bbox_np(corners) -> "np.ndarray":
+    """NumPy mirror of `sort_bbox` for host-side data loading.
+
+    The 3D-IoU family (`geometry/iou3d.box3d_iou`, mirroring the
+    reference's `compute_3d_iou`) reads boxes by CANONICAL corner index
+    (top face = corners[0:4], BEV rect = corners[[3,2,1,0]]), so corner
+    ORDER is semantic.  The reference guarantees it by sorting GT boxes
+    at crop time (`PoseEst/pose_estimation.py:194` run_crop_3dbbox);
+    dataset-raw `3Dbbox` corners (MOTFront json / fixtures) arrive in
+    arbitrary order and MUST be canonicalised before any IoU — unsorted
+    GT made every pred-vs-GT 3D IoU ~0, silently killing GT-identity
+    assignment (the rounds-4/5 `iou3d: 0.000` gate-funnel rows)."""
+    import numpy as np
+    c = np.asarray(corners, np.float32)
+    c = c[np.flip(np.argsort(c[:, 1], kind="stable"))]
+    x1 = np.flip(np.argsort(c[0:4, 0], kind="stable"))
+    x2 = np.flip(np.argsort(c[4:8, 0], kind="stable")) + 4
+    c = c[np.concatenate([x1, x2])]
+    z1 = np.flip(np.argsort(c[0:2, 2], kind="stable"))
+    z2 = np.argsort(c[2:4, 2], kind="stable") + 2
+    z3 = np.flip(np.argsort(c[4:6, 2], kind="stable")) + 4
+    z4 = np.argsort(c[6:8, 2], kind="stable") + 6
+    return c[np.concatenate([z1, z2, z3, z4])]
+
+
 def box_corners_to_minmax(corners: jax.Array) -> jax.Array:
     """8x3 corner box -> (6,) [xmin ymin zmin xmax ymax zmax].
 
